@@ -1,0 +1,91 @@
+"""Collision-induced absorption from tabulated cross sections.
+
+At setup: read the table, cubic-spline resample onto the working
+wavenumber grid (host-side, once), normalize amagat^-N -> (molec cm-3)^-N,
+and precompute dCS/dT slopes.  At runtime: a single vectorized linear
+interpolation in temperature (device-side).
+Reference behavior: pyratbay/opacity/cia.py.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from .. import constants as pc
+from ..io import io as pio
+from ..ops.interp import second_deriv_ref, splinterp, lin_interp_trow
+
+__all__ = ['CIA']
+
+
+class CIA:
+    """One CIA table (e.g. H2-H2 or H2-He)."""
+
+    def __init__(self, cia_file, wn=None):
+        self.cia_file = cia_file
+        absorption, species, temps, tab_wn = pio.read_cs(cia_file)
+
+        self.species = species
+        self.nspec = len(species)
+        self.name = 'CIA ' + '-'.join(species)
+        self.npars = 0
+        self.pnames = []
+        self.texnames = []
+        self.pars = []
+
+        t_sort = np.argsort(temps)
+        absorption = absorption[t_sort]
+        self.temps = temps[t_sort]
+        self.ntemp = len(self.temps)
+        self.tmin = self.temps.min()
+        self.tmax = self.temps.max()
+
+        if wn is None:
+            self.wn = tab_wn
+            cross_section = absorption
+        else:
+            self.wn = np.asarray(wn)
+            # Spline-resample each temperature row onto the working grid.
+            # (second_deriv_ref reproduces the reference's spline-tension
+            # quirk; see ops/interp.py.)
+            sorted_wn = self.wn[::-1] if self.wn[1] < self.wn[0] else self.wn
+            sorted_tab = tab_wn[::-1] if tab_wn[1] < tab_wn[0] else tab_wn
+            cross_section = np.zeros((self.ntemp, len(self.wn)))
+            for j in range(self.ntemp):
+                y2 = second_deriv_ref(absorption[j], sorted_tab)
+                cross_section[j] = splinterp(
+                    absorption[j], sorted_tab, y2, sorted_wn, extrap=0.0,
+                )
+            if self.wn[1] < self.wn[0]:
+                cross_section = np.fliplr(cross_section)
+        self.nwave = len(self.wn)
+
+        # per amagat^N -> per (molec cm-3)^N:
+        cross_section = cross_section / pc.amagat**self.nspec
+        self.tab_cross_section = cross_section
+
+        # Wavenumber span actually covered by the table:
+        good = (self.wn >= tab_wn.min()) & (self.wn <= tab_wn.max())
+        self._wn_lo = int(np.where(good)[0][0])
+        self._wn_hi = int(np.where(good)[0][-1]) + 1
+        self._dcs_dt = (
+            np.diff(cross_section, axis=0)
+            / np.expand_dims(np.ediff1d(self.temps), 1)
+        )
+        self.mol = species
+
+    def cross_section(self, temperature):
+        """CS (cm-1 (molec cm-3)^-N): T [nlayers] -> [nlayers, nwave].
+
+        Temperatures are clamped into the tabulated range; range
+        violations must be rejected by the caller (temp-bounds guard)
+        to preserve the reference's sampling semantics.
+        """
+        temp = jnp.clip(jnp.asarray(temperature), self.tmin, self.tmax)
+        return lin_interp_trow(
+            self.tab_cross_section, self.temps, self._dcs_dt, temp,
+            self._wn_lo, self._wn_hi,
+        )
+
+    def extinction(self, temperature, densities):
+        """EC (cm-1): densities [nlayers, nspec] of the colliding pair."""
+        cs = self.cross_section(temperature)
+        return cs * jnp.prod(densities, axis=1, keepdims=True)
