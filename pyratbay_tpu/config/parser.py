@@ -1,0 +1,282 @@
+"""INI configuration parser, key-compatible with the reference framework.
+
+Reads a single-section [pyrat] config file with case-sensitive keys,
+typed values, unit-tagged scalars ("1.1 um", "0.6 mjup"), and {ROOT}
+path expansion.  Reference behavior: pyratbay/tools/parser.py.
+"""
+import configparser
+import os
+
+import numpy as np
+
+from .. import constants as pc
+
+__all__ = ['parse', 'Config']
+
+
+def _get_units(value):
+    """Extract the unit name from a '<number> <unit>' string, else None."""
+    if not isinstance(value, str):
+        return None
+    fields = value.split()
+    if len(fields) == 2 and fields[1] in pc._UNITS:
+        return fields[1]
+    return None
+
+
+class Config:
+    """Flat namespace of parsed configuration values."""
+
+    def __init__(self, **kwargs):
+        self._raw = {}
+        for key, val in kwargs.items():
+            setattr(self, key, val)
+
+    def __repr__(self):
+        keys = [k for k in vars(self) if not k.startswith('_')]
+        return f'Config({", ".join(sorted(keys))})'
+
+    def get(self, key, default=None):
+        return getattr(self, key, default)
+
+
+# Option tables: name -> kind
+_STR_KEYS = [
+    'logfile', 'runmode', 'molfile', 'wlunits', 'atmfile', 'tmodel',
+    'runits', 'punits', 'output_atmfile', 'radmodel', 'chemistry',
+    'vmr_vars', 'ptfile', 'solar', 'single_isotope', 'isotope_ratios',
+    'clouds', 'rt_path', 'dunits', 'obsfile', 'obsfile_hires',
+    'offset_inst', 'uncert_scaling', 'sampler', 'retrieval_params',
+    'statistics', 'starspec', 'kurucz', 'marcs', 'phoenix', 'mstar',
+    'distance', 'rplanet', 'refpressure', 'mplanet', 'mpunits', 'smaxis',
+    'specfile', 'rstar', 'wl_low', 'wl_high', 'wlstep', 'ptop', 'pbottom',
+    'mcmcfile', 'theme', 'data_color',
+]
+_INT_KEYS = [
+    'ncpu', 'verb', 'wnosamp', 'wl_thinning', 'nlayers', 'ndop', 'nlor',
+    'quadrature', 'nsamples', 'nchains', 'burnin', 'thinning', 'nlive',
+]
+_FLOAT_KEYS = [
+    'wnlow', 'wnhigh', 'wnstep', 'resolution', 'tmin', 'tmax', 'tstep',
+    'ethresh', 'voigt_extent', 'voigt_cutoff', 'dmin', 'dmax', 'lmin',
+    'lmax', 'dlratio', 'fpatchy', 'alkali_cutoff', 'maxdepth',
+    'f_dilution', 'qcap', 'tlow', 'thigh', 'grbreak', 'grnmin',
+    'log_gstar', 'gstar', 'tstar', 'gplanet', 'tint', 'beta_irr',
+    'inst_resolution', 'dt_retrieval_snapshot',
+]
+_BOOL_KEYS = ['resume', 'post_processing']
+_ARRAY_KEYS = [
+    'dblist', 'pflist', 'dbtype', 'tlifile', 'sampled_cross_sec',
+    'continuum_cross_sec', 'tpars', 'species', 'uniform_vmr', 'bulk',
+    'rayleigh', 'alkali', 'h_ion', 'raygrid', 'data', 'uncert',
+    'filters', 'params', 'pstep', 'pmin', 'pmax', 'prior', 'priorlow',
+    'priorup', 'logxticks', 'yran',
+]
+_PATH_KEYS = [
+    'logfile', 'atmfile', 'output_atmfile', 'specfile', 'molfile',
+    'ptfile', 'obsfile', 'starspec', 'kurucz', 'marcs', 'phoenix',
+]
+_PATH_ARRAY_KEYS = [
+    'tlifile', 'sampled_cross_sec', 'continuum_cross_sec', 'dblist',
+    'pflist', 'filters',
+]
+
+_STRING_ARRAYS = {
+    'dblist', 'pflist', 'dbtype', 'tlifile', 'sampled_cross_sec',
+    'continuum_cross_sec', 'species', 'bulk', 'rayleigh', 'alkali',
+    'h_ion', 'filters',
+}
+
+
+def parse_var_vals(info):
+    """Parse a multi-line '<name> <val1> <val2> ...' block.
+
+    Returns (names, list-of-parameter-arrays-or-None).
+    """
+    if info is None:
+        return [], []
+    names = []
+    pars = []
+    for line in info.strip().splitlines():
+        fields = line.split()
+        if not fields:
+            continue
+        names.append(fields[0])
+        if len(fields) > 1:
+            pars.append(np.array(fields[1:], float))
+        else:
+            pars.append(None)
+    return names, pars
+
+
+def parse(cfile, root=None):
+    """Parse a configuration file into a Config namespace.
+
+    Parameters
+    ----------
+    cfile: path to an INI file with a [pyrat] section.
+    root: value substituted for '{ROOT}' in paths (default: the config
+        file's directory).
+    """
+    if not os.path.isfile(cfile):
+        raise FileNotFoundError(f"Configuration file '{cfile}' not found")
+    if root is None:
+        root = os.path.dirname(os.path.realpath(cfile)) + '/'
+
+    ini = configparser.ConfigParser()
+    ini.optionxform = str  # case-sensitive keys
+    ini.read([cfile])
+    if 'pyrat' not in ini.sections():
+        raise ValueError(
+            f"Invalid configuration file: '{cfile}', no [pyrat] section"
+        )
+    raw = dict(ini.items('pyrat'))
+
+    cfg = Config()
+    cfg._raw = raw
+    cfg.config_file = cfile
+
+    def expand(path):
+        return os.path.expanduser(path.replace('{ROOT}', root))
+
+    for key in _STR_KEYS:
+        cfg.__dict__[key] = raw.get(key)
+    for key in _INT_KEYS:
+        val = raw.get(key)
+        cfg.__dict__[key] = None if val is None else int(val)
+    for key in _FLOAT_KEYS:
+        val = raw.get(key)
+        cfg.__dict__[key] = None if val is None else float(val)
+    for key in _BOOL_KEYS:
+        val = raw.get(key)
+        cfg.__dict__[key] = (
+            None if val is None else val.lower() in ('true', '1', 'yes')
+        )
+    for key in _ARRAY_KEYS:
+        val = raw.get(key)
+        if val is None:
+            cfg.__dict__[key] = None
+            continue
+        fields = val.split()
+        if key in _STRING_ARRAYS:
+            cfg.__dict__[key] = fields
+        else:
+            cfg.__dict__[key] = np.array(fields, float)
+
+    # Path expansion:
+    for key in _PATH_KEYS:
+        if cfg.get(key) is not None:
+            cfg.__dict__[key] = expand(cfg.__dict__[key])
+    for key in _PATH_ARRAY_KEYS:
+        if cfg.get(key) is not None:
+            cfg.__dict__[key] = [expand(p) for p in cfg.__dict__[key]]
+
+    # ---- Derived values and defaults (reference parser.py:651-1010) ----
+    cfg.verb = 2 if cfg.verb is None else cfg.verb
+    if cfg.runmode not in pc.RUN_MODES:
+        raise ValueError(
+            f"Invalid runmode '{cfg.runmode}', select from {pc.RUN_MODES}"
+        )
+
+    cfg.sampled_cs = cfg.sampled_cross_sec
+    cfg.continuum_cs = cfg.continuum_cross_sec
+
+    # Wavelength bounds carry units ('um' default):
+    wlunits = cfg.wlunits
+    for key in ('wl_low', 'wl_high', 'wlstep'):
+        if wlunits is None:
+            wlunits = _get_units(raw.get(key))
+    if wlunits is None:
+        wlunits = 'um'
+    cfg.wlunits = wlunits
+    for key in ('wl_low', 'wl_high', 'wlstep'):
+        val = cfg.get(key)
+        cfg.__dict__[key] = pc.get_param(val, wlunits, gt=0.0) \
+            if val is not None else None
+
+    cfg.wl_thinning = 1 if cfg.wl_thinning is None else cfg.wl_thinning
+
+    # Radii:
+    runits = cfg.runits
+    if runits is None:
+        runits = _get_units(raw.get('rplanet'))
+    cfg.runits = runits
+    cfg.rplanet = pc.get_param(cfg.rplanet, runits, gt=0.0)
+    cfg.rmodelname = cfg.radmodel
+    if cfg.rmodelname is not None and cfg.rmodelname not in pc.RAD_MODELS:
+        raise ValueError(f"Invalid radmodel '{cfg.rmodelname}'")
+
+    # Pressures (internally in bar):
+    punits = cfg.punits
+    for key in ('pbottom', 'ptop', 'refpressure'):
+        if punits is None:
+            punits = _get_units(raw.get(key))
+    cfg.punits = punits
+    for key in ('pbottom', 'ptop', 'refpressure'):
+        val = cfg.get(key)
+        if val is not None:
+            cfg.__dict__[key] = pc.get_param(val, punits, gt=0.0) / pc.bar
+        else:
+            cfg.__dict__[key] = None
+
+    if cfg.chemistry is not None and cfg.chemistry not in pc.CHEM_MODELS:
+        raise ValueError(f"Invalid chemistry model '{cfg.chemistry}'")
+
+    # System parameters (CGS):
+    mass_units = cfg.mpunits or _get_units(raw.get('mplanet'))
+    cfg.mass_units = mass_units
+    cfg.mplanet = pc.get_param(cfg.mplanet, mass_units, gt=0.0)
+    cfg.smaxis = pc.get_param(cfg.smaxis, None, gt=0.0)
+    cfg.rstar = pc.get_param(cfg.rstar, None, gt=0.0)
+    cfg.mstar = pc.get_param(cfg.mstar, None, gt=0.0)
+    cfg.distance = pc.get_param(cfg.distance, None, gt=0.0)
+    if cfg.gstar is not None and cfg.log_gstar is None:
+        cfg.log_gstar = np.log10(cfg.gstar)
+    cfg.tint = 100.0 if cfg.tint is None else cfg.tint
+    cfg.beta_irr = 0.25 if cfg.beta_irr is None else cfg.beta_irr
+
+    # Voigt / LBL parameters:
+    cfg.voigt_extent = 300.0 if cfg.voigt_extent is None else cfg.voigt_extent
+    cfg.voigt_cutoff = 25.0 if cfg.voigt_cutoff is None else cfg.voigt_cutoff
+    cfg.voigt_ndop = 50 if cfg.ndop is None else cfg.ndop
+    cfg.voigt_nlor = 100 if cfg.nlor is None else cfg.nlor
+    cfg.voigt_dmin = cfg.dmin
+    cfg.voigt_dmax = cfg.dmax
+    cfg.voigt_lmin = cfg.lmin
+    cfg.voigt_lmax = cfg.lmax
+    cfg.voigt_dlratio = 0.1 if cfg.dlratio is None else cfg.dlratio
+    cfg.ethresh = 1e-30 if cfg.ethresh is None else cfg.ethresh
+
+    # Opacity model lists:
+    if cfg.rayleigh is not None:
+        for name in cfg.rayleigh:
+            if name not in pc.RAYLEIGH_MODELS:
+                raise ValueError(f"Invalid Rayleigh model '{name}'")
+    if cfg.alkali is not None:
+        for name in cfg.alkali:
+            if name not in pc.ALKALI_MODELS:
+                raise ValueError(f"Invalid alkali model '{name}'")
+    cfg.alkali_models = cfg.alkali
+    cfg.alkali_cutoff = (
+        4500.0 if cfg.alkali_cutoff is None else cfg.alkali_cutoff
+    )
+    cloud_names, _ = parse_var_vals(cfg.clouds)
+    for name in cloud_names:
+        if name not in pc.CLOUD_MODELS:
+            raise ValueError(f"Invalid cloud model '{name}'")
+    cfg.h_ion_model = None if cfg.h_ion is None else cfg.h_ion[0]
+
+    # RT:
+    if cfg.rt_path is not None and cfg.rt_path not in pc.RT_PATHS:
+        raise ValueError(
+            f"Invalid rt_path '{cfg.rt_path}', select from {pc.RT_PATHS}"
+        )
+    cfg.maxdepth = 10.0 if cfg.maxdepth is None else cfg.maxdepth
+    if cfg.raygrid is None:
+        cfg.raygrid = np.array([0.0, 20.0, 40.0, 60.0, 80.0])
+
+    cfg.tmodelname = cfg.tmodel
+    if cfg.tmodelname is not None and cfg.tmodelname not in pc.TMODELS:
+        raise ValueError(f"Invalid tmodel '{cfg.tmodelname}'")
+
+    return cfg

@@ -1,0 +1,658 @@
+"""High-level forward model: configuration -> jittable spectrum pipeline.
+
+This is the functional redesign of the reference's Pyrat god-object
+(pyratbay/pyrat/pyrat_obj.py): setup reads files and assembles static
+tables once; the forward evaluation
+    (temperature, vmr, radius, model parameters) -> spectrum
+is a pure function suitable for jax.jit / vmap (retrieval ensembles) /
+shard_map (multi-chip).
+"""
+import numpy as np
+import scipy.constants as sc
+import jax
+import jax.numpy as jnp
+
+from . import constants as pc
+from .config import parser as cfg_parser
+from .io import io as pio
+from .ops.grids import wavenumber_grid, WavenumberGrid
+from .ops.planck import blackbody_wn
+from .atmosphere import (
+    geometry, hydro, profiles, vmr as vmr_models,
+)
+from .opacity import (
+    CIA, Deck, CCSgray, HydrogenIon, Lecavelier, LineSample, Rayleigh,
+    get_alkali_model,
+)
+from .spectrum import rt
+from .spectrum.starspec import bbflux, read_kurucz
+from .spectrum.passbands import PassBand, Tophat
+
+__all__ = ['Model']
+
+
+class Model:
+    """Forward spectroscopic model assembled from a configuration."""
+
+    def __init__(self, cfg, root=None):
+        if isinstance(cfg, str):
+            cfg = cfg_parser.parse(cfg, root=root)
+        self.cfg = cfg
+        self.rt_path = cfg.rt_path
+        self.maxdepth = cfg.maxdepth
+
+        self._setup_spectrum()
+        self._setup_atmosphere()
+        self._setup_star()
+        self._setup_opacity()
+        self._setup_quadrature()
+
+        # Results from the last run():
+        self.spectrum = None
+        self.depth = None
+        self.ideep = None
+
+    # ------------------------------------------------------------------
+    # Setup
+
+    def _setup_spectrum(self):
+        cfg = self.cfg
+        wnlow = cfg.wnlow
+        wnhigh = cfg.wnhigh
+        if wnlow is None and cfg.wl_high is not None:
+            wnlow = 1.0 / cfg.wl_high
+        if wnhigh is None and cfg.wl_low is not None:
+            wnhigh = 1.0 / cfg.wl_low
+
+        # Inherit sampling from a cross-section table when present
+        # (reference pyrat/spectrum.py:124-166):
+        use_cs_sampling = (
+            cfg.sampled_cs is not None and cfg.runmode != 'opacity'
+        )
+        if use_cs_sampling:
+            _, _, _, wn = pio.read_opacity(cfg.sampled_cs[0], 'arrays')
+            from .opacity.line_sample import wn_mask_tol
+            mask = wn_mask_tol(wn, wnlow, wnhigh)
+            wn = wn[mask][::cfg.wl_thinning]
+            self.grid = WavenumberGrid(wn=wn, wnlow=wnlow, wnhigh=wnhigh)
+        else:
+            self.grid = wavenumber_grid(
+                wnlow=wnlow, wnhigh=wnhigh,
+                wnstep=cfg.wnstep, wlstep=cfg.wlstep,
+                resolution=cfg.resolution, wnosamp=cfg.wnosamp,
+            )
+        self.wn = self.grid.wn
+        self.nwave = len(self.wn)
+
+    def _setup_atmosphere(self):
+        cfg = self.cfg
+        # Input atmosphere:
+        if cfg.atmfile is not None:
+            units, species, press, temp, vmr, radius = pio.read_atm(
+                cfg.atmfile,
+            )
+            punits, _, _, runits = units
+            press = press * pc.u(punits) / pc.bar
+            if radius is not None and runits is not None:
+                radius = radius * pc.u(runits)
+        elif cfg.nlayers is not None:
+            press = profiles.pressure(cfg.ptop, cfg.pbottom, cfg.nlayers)
+            temp = None
+            species = cfg.species
+            vmr = None
+            radius = None
+            if cfg.uniform_vmr is not None:
+                vmr = vmr_models.uniform_vmr(
+                    np.array(cfg.uniform_vmr, float), cfg.nlayers,
+                )
+        else:
+            raise ValueError(
+                'Missing atmosphere: provide atmfile or nlayers/ptop/pbottom'
+            )
+        self.press = np.asarray(press)
+        self.nlayers = len(self.press)
+        self.species = None if species is None else list(species)
+        self.base_temp = temp
+        self.base_vmr = None if vmr is None else np.asarray(vmr)
+        self.input_radius = radius
+
+        # Species physical properties:
+        if self.species is not None:
+            self.mol_mass, self.mol_radius = pio.species_properties(
+                self.species, cfg.molfile,
+            )
+        else:
+            self.mol_mass = self.mol_radius = None
+
+        # Temperature model:
+        self.temp_model = None
+        self.tpars = None if cfg.tpars is None else np.asarray(cfg.tpars)
+        if cfg.tmodelname is not None:
+            self.temp_model = profiles.get_tmodel(
+                cfg.tmodelname, self.press,
+            )
+            # The model takes precedence over any input profile, so its
+            # parameters are required (reference test_transmission.py:321):
+            if self.tpars is None:
+                raise ValueError(
+                    'Not all temperature parameters were defined (tpars)'
+                )
+
+        # Planet parameters; mplanet/gplanet/rplanet kept consistent
+        # (reference MassGravity descriptor, pyrat/atmosphere.py:20-48):
+        self.rplanet = cfg.rplanet
+        mplanet, gplanet = cfg.mplanet, cfg.gplanet
+        if self.rplanet is not None:
+            if gplanet is not None and mplanet is None:
+                mplanet = gplanet * self.rplanet**2 / pc.G
+            if mplanet is not None:
+                gplanet = pc.G * mplanet / self.rplanet**2
+        self.mplanet = mplanet
+        self.gplanet = gplanet
+        self.refpressure = cfg.refpressure
+        self.rmodelname = cfg.rmodelname
+        self.smaxis = cfg.smaxis
+        self.mstar = cfg.mstar
+        self.rstar = cfg.rstar
+        self.tstar = cfg.tstar
+        self.tint = cfg.tint
+        self.beta_irr = cfg.beta_irr
+        self.rhill = hydro.hill_radius(self.smaxis, self.mplanet, self.mstar)
+
+        # Free-VMR parameterization (vmr_vars config):
+        self._setup_vmr_models()
+
+    def _setup_vmr_models(self):
+        cfg = self.cfg
+        vmr_vars = cfg.vmr_vars or ''
+        lines = [ln for ln in vmr_vars.splitlines() if ln.strip()]
+        self.vmr_var_names = []
+        self.vmr_pars = []
+        has_pars = any(
+            _is_number(val) for ln in lines for val in ln.split()[1:]
+        )
+        for ln in lines:
+            fields = ln.split()
+            if has_pars:
+                self.vmr_var_names.append(fields[0])
+                if len(fields) < 2:
+                    raise ValueError(
+                        'Not all vmr parameter values were defined (vmr_vars)'
+                    )
+                self.vmr_pars.append(np.array(fields[1:], float))
+            else:
+                self.vmr_var_names.extend(fields)
+        if not has_pars:
+            self.vmr_pars = None
+            if self.vmr_var_names:
+                raise ValueError(
+                    'Not all vmr parameter values were defined (vmr_vars)'
+                )
+
+        # Build the free-VMR evaluators:
+        self.ifree = []
+        self._vmr_kinds = []
+        species = self.species or []
+        for var in self.vmr_var_names:
+            if var.startswith('log_'):
+                mol, kind = var[4:], 'iso'
+            elif var.startswith('scale_'):
+                mol, kind = var[6:], 'scale'
+            elif var.startswith('slant_'):
+                mol, kind = var[6:], 'slant'
+            else:
+                raise ValueError(f"Unrecognized VMR model (vmr_vars): '{var}'")
+            if mol not in species:
+                raise ValueError(
+                    f"Invalid vmr_vars variable '{var}', species {mol} "
+                    'is not in the atmosphere'
+                )
+            self.ifree.append(species.index(mol))
+            self._vmr_kinds.append(kind)
+
+        self.bulk = cfg.bulk
+        self.ibulk = None
+        self.bulkratio = self.invsrat = None
+        if self.bulk is not None:
+            missing = np.setdiff1d(self.bulk, species)
+            if len(missing):
+                raise ValueError(
+                    f'These bulk species are not present in the '
+                    f'atmosphere: {missing}'
+                )
+            self.ibulk = [species.index(mol) for mol in self.bulk]
+            self.bulkratio, self.invsrat = vmr_models.bulk_ratio(
+                jnp.asarray(self.base_vmr), np.asarray(self.ibulk),
+            )
+
+    def _setup_star(self):
+        cfg = self.cfg
+        self.starflux = None
+        if cfg.starspec is not None:
+            starwn, starflux = pio.read_spectrum(cfg.starspec)
+            self.starflux = np.interp(self.wn, starwn, starflux)
+        elif cfg.kurucz is not None:
+            if self.tstar is None or cfg.log_gstar is None:
+                raise ValueError(
+                    'Undefined stellar temperature or gravity for Kurucz'
+                )
+            flux, starwn, _, _ = read_kurucz(
+                cfg.kurucz, self.tstar, cfg.log_gstar,
+            )
+            self.starflux = np.interp(self.wn, starwn, flux)
+        elif self.tstar is not None:
+            self.starflux = np.asarray(bbflux(self.wn, self.tstar))
+
+    def _setup_opacity(self):
+        """Assemble the opacity model list (order matches reference
+        pyrat/opacity.py:52-203)."""
+        cfg = self.cfg
+        self.opacity_models = []   # (type, model, imol)
+        self.tmin = {}
+        self.tmax = {}
+        species = self.species or []
+        wn = self.wn
+
+        if cfg.sampled_cs is not None and cfg.runmode != 'opacity':
+            temp_array = None
+            if (cfg.tmin is not None and cfg.tmax is not None
+                    and cfg.tstep is not None):
+                ntemp = int((cfg.tmax - cfg.tmin) / cfg.tstep) + 1
+                tmax = cfg.tmin + (ntemp - 1) * cfg.tstep
+                temp_array = np.linspace(cfg.tmin, tmax, ntemp)
+            ls = LineSample(
+                cfg.sampled_cs, pressure=self.press, temperature=temp_array,
+                min_wn=self.grid.wnlow, max_wn=self.grid.wnhigh,
+                wl_thinning=cfg.wl_thinning,
+            )
+            imol = [species.index(mol) for mol in ls.species]
+            self.opacity_models.append(('line_sample', ls, imol))
+            self.tmin['line_sample'] = ls.tmin
+            self.tmax['line_sample'] = ls.tmax
+
+        if cfg.tlifile is not None:
+            from .opacity.lbl import LineByLine
+            lbl = LineByLine(
+                cfg.tlifile, wn=wn, species=species,
+                mol_mass=self.mol_mass, mol_radius=self.mol_radius,
+                voigt_extent=cfg.voigt_extent,
+                voigt_cutoff=cfg.voigt_cutoff,
+                ethresh=cfg.ethresh,
+                wnosamp=self.grid.wnosamp,
+                ownstep=self.grid.ownstep,
+                own=self.grid.own,
+                odivisors=self.grid.odivisors,
+            )
+            imol = [species.index(mol) for mol in lbl.species]
+            self.opacity_models.append(('lbl', lbl, imol))
+            self.tmin['lbl'] = lbl.tmin
+            self.tmax['lbl'] = lbl.tmax
+
+        if cfg.alkali_models is not None:
+            for name in cfg.alkali_models:
+                model = get_alkali_model(
+                    name, self.press, wn, cutoff=cfg.alkali_cutoff,
+                )
+                imol = species.index(model.species)
+                self.opacity_models.append(('alkali', model, imol))
+
+        if cfg.continuum_cs is not None:
+            tmins, tmaxs = [], []
+            for cs_file in cfg.continuum_cs:
+                cia = CIA(cs_file, wn=wn)
+                imol = [species.index(mol) for mol in cia.species]
+                self.opacity_models.append(('cia', cia, imol))
+                tmins.append(cia.tmin)
+                tmaxs.append(cia.tmax)
+            self.tmin['cia'] = np.amax(tmins)
+            self.tmax['cia'] = np.amin(tmaxs)
+
+        if cfg.rayleigh is not None:
+            for name in cfg.rayleigh:
+                mol = name.split('_')[1]
+                model = Rayleigh(mol, wn)
+                imol = species.index(mol)
+                self.opacity_models.append(('rayleigh', model, imol))
+
+        cloud_names, cloud_pars = cfg_parser.parse_var_vals(cfg.clouds)
+        for name, pars in zip(cloud_names, cloud_pars):
+            if name == 'ccsgray':
+                model = CCSgray(self.press, wn)
+            elif name == 'deck':
+                model = Deck(self.press, wn)
+            elif name == 'lecavelier':
+                model = Lecavelier(self.press, wn)
+            if pars is not None:
+                if len(pars) != model.npars:
+                    raise ValueError(
+                        f'Number of input parameters ({len(pars)}) does not '
+                        f'match required ({model.npars}) for model {name!r}'
+                    )
+                model.pars = list(np.asarray(pars, float))
+            self.opacity_models.append(('cloud', model, None))
+
+        if cfg.h_ion_model is not None:
+            model = HydrogenIon(wn)
+            imol = [species.index(mol) for mol in model.species]
+            self.opacity_models.append(('h_ion', model, imol))
+
+        self.fpatchy = cfg.fpatchy
+        self.is_patchy = self.fpatchy is not None
+        self.has_deck = any(
+            m.name == 'deck' for _, m, _ in self.opacity_models
+        )
+
+    def _setup_quadrature(self):
+        cfg = self.cfg
+        if cfg.quadrature is not None:
+            mu, weights = rt.gauss_quadrature(cfg.quadrature)
+        else:
+            raygrid = np.asarray(cfg.raygrid) * sc.degree
+            mu = np.cos(raygrid)
+            bounds = np.linspace(0, 0.5 * np.pi, len(raygrid) + 1)
+            bounds[1:-1] = 0.5 * (raygrid[:-1] + raygrid[1:])
+            weights = np.pi * (
+                np.sin(bounds[1:])**2 - np.sin(bounds[:-1])**2
+            )
+        self.quadrature_mu = mu
+        self.quadrature_weights = weights
+
+    # ------------------------------------------------------------------
+    # Forward evaluation
+
+    def model_pars(self):
+        """Current parameter arrays for each parametric opacity model."""
+        return [
+            jnp.asarray(np.array(model.pars, float))
+            for _, model, _ in self.opacity_models
+            if getattr(model, 'npars', 0) > 0
+        ]
+
+    def eval_temp(self, tpars=None):
+        if tpars is not None and self.temp_model is not None:
+            return self.temp_model(jnp.asarray(tpars))
+        if self.temp_model is not None and self.tpars is not None:
+            return self.temp_model(jnp.asarray(self.tpars))
+        if self.base_temp is None:
+            raise ValueError('No temperature profile available')
+        return jnp.asarray(self.base_temp)
+
+    def eval_vmr(self, vmr_pars=None):
+        """Apply free-VMR models + bulk balancing to the base VMR."""
+        base = jnp.asarray(self.base_vmr)
+        if vmr_pars is None:
+            vmr_pars = self.vmr_pars
+        if vmr_pars is None or not self.ifree:
+            return base
+        log_press = np.log10(self.press)
+        profiles_list = []
+        for kind, imol, pars in zip(self._vmr_kinds, self.ifree, vmr_pars):
+            if kind == 'iso':
+                prof = vmr_models.iso_vmr(jnp.asarray(pars), self.nlayers)
+            elif kind == 'scale':
+                prof = vmr_models.scale_vmr(base[:, imol], jnp.asarray(pars))
+            else:
+                prof = vmr_models.slant_vmr(log_press, jnp.asarray(pars))
+            profiles_list.append(prof)
+        return vmr_models.vmr_scale(
+            base, profiles_list, tuple(self.ifree),
+            np.asarray(self.ibulk), self.bulkratio, self.invsrat,
+        )
+
+    def eval_radius(self, temp, mm, radius=None):
+        if radius is not None:
+            return jnp.asarray(radius)
+        if self.rmodelname == 'hydro_m':
+            return hydro.hydro_m(
+                self.press, temp, mm, self.mplanet,
+                self.refpressure, self.rplanet,
+            )
+        if self.rmodelname == 'hydro_g':
+            return hydro.hydro_g(
+                self.press, temp, mm, self.gplanet,
+                self.refpressure, self.rplanet,
+            )
+        if self.input_radius is not None:
+            return jnp.asarray(self.input_radius)
+        return None
+
+    def extinction(self, temp, radius, dens, pars_list=None, skip=()):
+        """Total extinction coefficient [nlayers, nwave] (cm-1), the
+        separate cloud extinction for patchy models, and the deck
+        surface triple."""
+        if pars_list is None:
+            pars_list = self.model_pars()
+        ec = jnp.zeros((self.nlayers, self.nwave))
+        ec_cloud = jnp.zeros((self.nlayers, self.nwave))
+        deck_surface = None
+        ipar = 0
+        for mtype, model, imol in self.opacity_models:
+            has_pars = getattr(model, 'npars', 0) > 0
+            pars = pars_list[ipar] if has_pars else None
+            ipar += has_pars
+
+            skipped = model.name in skip or mtype in skip
+            if model.name == 'deck':
+                if skipped:
+                    deck_surface = None
+                    continue
+                deck_surface = model.surface(radius, temp, pars)
+                continue
+            if skipped:
+                continue
+
+            if mtype == 'line_sample':
+                density = dens[:, jnp.asarray(imol)]
+                sk = jnp.asarray([
+                    1.0 if mol not in skip else 0.0 for mol in model.species
+                ])
+                contrib = model.extinction(temp, density * sk[None, :])
+            elif mtype == 'lbl':
+                contrib = model.extinction(temp, dens, skip=skip)
+            elif mtype == 'alkali':
+                contrib = model.extinction(temp, dens[:, imol])
+            elif mtype == 'cia':
+                contrib = model.extinction(temp, dens[:, jnp.asarray(imol)])
+            elif mtype == 'rayleigh':
+                contrib = model.extinction(dens[:, imol])
+            elif mtype == 'cloud':
+                contrib = model.extinction(temp, pars)
+            elif mtype == 'h_ion':
+                contrib = model.extinction(
+                    temp, dens[:, imol[0]], dens[:, imol[1]],
+                )
+            else:
+                raise ValueError(f'Unknown opacity type {mtype}')
+
+            if mtype == 'cloud' and self.is_patchy:
+                ec_cloud = ec_cloud + contrib
+            else:
+                ec = ec + contrib
+        return ec, ec_cloud, deck_surface
+
+    def check_temp_bounds(self, temp):
+        """List of models whose T-tables the profile falls outside of."""
+        tmin = float(np.amin(temp))
+        tmax = float(np.amax(temp))
+        oob = [name for name, t in self.tmin.items() if tmin < t]
+        oob += [name for name, t in self.tmax.items() if tmax > t]
+        return sorted(set(oob))
+
+    def _rtop(self, radius):
+        if not np.isfinite(self.rhill):
+            return 0
+        inside = radius < self.rhill
+        return jnp.where(jnp.any(inside), jnp.argmax(inside), 0)
+
+    def _run_transit(self, ec, ec_cloud, deck_surface, radius, rtop,
+                     fpatchy):
+        nlayers = self.nlayers
+        if deck_surface is not None:
+            deck_itop, rsurf, tsurf = deck_surface
+            ibottom = deck_itop + 1
+        else:
+            deck_itop = rsurf = None
+            ibottom = nlayers
+
+        ec_total = ec + ec_cloud if self.is_patchy else ec
+        path = geometry.transit_path_matrix(radius, rtop)
+        depth, ideep = rt.transit_depth(
+            ec_total, path, self.maxdepth, rtop, ibottom,
+        )
+        spectrum = rt.transmission_spectrum(
+            depth, ideep, radius, self.rstar, rtop,
+            deck_rsurf=rsurf, deck_itop=deck_itop,
+        )
+        result = {'spectrum': spectrum, 'depth': depth, 'ideep': ideep}
+        if self.is_patchy:
+            cloudy = spectrum
+            depth_clear, ideep_clear = rt.transit_depth(
+                ec, path, self.maxdepth, rtop, nlayers,
+            )
+            clear = rt.transmission_spectrum(
+                depth_clear, ideep_clear, radius, self.rstar, rtop,
+            )
+            result['cloudy'] = cloudy
+            result['clear'] = clear
+            result['spectrum'] = fpatchy * cloudy + (1 - fpatchy) * clear
+        return result
+
+    def _run_emission(self, ec, ec_cloud, deck_surface, temp, radius, rtop,
+                      fpatchy):
+        nlayers = self.nlayers
+        wn = jnp.asarray(self.wn)
+        if deck_surface is not None:
+            deck_itop, _, tsurf = deck_surface
+            ibottom = deck_itop + 1
+        else:
+            deck_itop = tsurf = None
+            ibottom = nlayers
+
+        two_stream = 'two_stream' in self.rt_path
+        maxdepth = np.inf if two_stream else self.maxdepth
+
+        ec_total = ec + ec_cloud if self.is_patchy else ec
+        depth, ideep = rt.plane_parallel_depth(
+            ec_total, radius, maxdepth, rtop, ibottom,
+        )
+        bbody = blackbody_wn(wn, temp[:, None])
+
+        if two_stream:
+            f_int = rt.internal_flux(wn, self.tint)
+            if (self.starflux is not None and self.smaxis is not None
+                    and self.rstar is not None):
+                fdown_top = (
+                    self.beta_irr * (self.rstar / self.smaxis)**2
+                    * jnp.asarray(self.starflux)
+                )
+            else:
+                fdown_top = jnp.zeros(self.nwave)
+            flux_up, flux_down = rt.two_stream(
+                depth, bbody, wn, fdown_top, f_int,
+            )
+            return {
+                'spectrum': flux_up[0], 'fplanet': flux_up[0],
+                'flux_up': flux_up, 'flux_down': flux_down,
+                'depth': depth, 'ideep': ideep, 'bbody': bbody,
+            }
+
+        if deck_surface is not None:
+            bb_surf = blackbody_wn(wn, tsurf)
+            bbody = bbody.at[deck_itop].set(bb_surf)
+            ideep = jnp.clip(ideep, 0, deck_itop)
+        intensity = rt.plane_parallel_intensity(
+            depth, bbody, self.quadrature_mu, ideep, rtop,
+        )
+        weights = jnp.asarray(self.quadrature_weights)[:, None]
+        flux = jnp.sum(intensity * weights, axis=0)
+        result = {
+            'spectrum': flux, 'fplanet': flux, 'intensity': intensity,
+            'depth': depth, 'ideep': ideep, 'bbody': bbody,
+        }
+        if self.is_patchy:
+            cloudy = flux
+            depth_clear, ideep_clear = rt.plane_parallel_depth(
+                ec, radius, maxdepth, rtop, nlayers,
+            )
+            bbody_clear = blackbody_wn(wn, temp[:, None])
+            intensity_clear = rt.plane_parallel_intensity(
+                depth_clear, bbody_clear, self.quadrature_mu,
+                ideep_clear, rtop,
+            )
+            clear = jnp.sum(intensity_clear * weights, axis=0)
+            result['cloudy'] = cloudy
+            result['clear'] = clear
+            result['spectrum'] = fpatchy * cloudy + (1 - fpatchy) * clear
+            result['fplanet'] = result['spectrum']
+        return result
+
+    def run(self, temp=None, vmr=None, radius=None, skip=(),
+            tpars=None, vmr_pars=None, pars_list=None, fpatchy=None):
+        """Evaluate the forward model; returns a result dict and stores
+        .spectrum/.depth/.ideep."""
+        temp = self.eval_temp(tpars) if temp is None else jnp.asarray(temp)
+
+        # Out-of-bounds temperature rejection (reference run():189-200):
+        oob = self.check_temp_bounds(np.asarray(temp))
+        if oob or bool(np.any(np.asarray(temp) <= 0)):
+            self.spectrum = np.zeros(self.nwave)
+            return {
+                'spectrum': jnp.zeros(self.nwave),
+                'out_of_bounds': oob or ['temperature'],
+            }
+
+        if vmr is None:
+            vmr = self.eval_vmr(vmr_pars)
+        else:
+            vmr = jnp.asarray(vmr)
+        dens = hydro.ideal_gas_density(vmr, self.press, temp)
+        mm = hydro.mean_weight(vmr, self.mol_mass)
+        radius = self.eval_radius(temp, mm, radius)
+        rtop = self._rtop(radius) if radius is not None else 0
+
+        ec, ec_cloud, deck_surface = self.extinction(
+            temp, radius, dens, pars_list, skip,
+        )
+        if fpatchy is None:
+            fpatchy = self.fpatchy
+
+        if self.rt_path in pc.TRANSMISSION_RT:
+            result = self._run_transit(
+                ec, ec_cloud, deck_surface, radius, rtop, fpatchy,
+            )
+        else:
+            result = self._run_emission(
+                ec, ec_cloud, deck_surface, temp, radius, rtop, fpatchy,
+            )
+
+        # Eclipse: Fp/Fs scaled by (Rp/Rs)^2:
+        if self.rt_path in pc.ECLIPSE_RT:
+            if self.starflux is None:
+                raise ValueError(
+                    'Undefined stellar flux model, required for eclipse'
+                )
+            fstar_rprs = (
+                1.0 / jnp.asarray(self.starflux)
+                * (self.rplanet / self.rstar)**2
+            )
+            result['fplanet'] = result['spectrum']
+            result['spectrum'] = result['spectrum'] * fstar_rprs
+            if self.is_patchy:
+                result['clear'] = result['clear'] * fstar_rprs
+                result['cloudy'] = result['cloudy'] * fstar_rprs
+
+        self.spectrum = np.asarray(result['spectrum'])
+        self.depth = result.get('depth')
+        self.ideep = result.get('ideep')
+        self.temp = np.asarray(temp)
+        self.radius = None if radius is None else np.asarray(radius)
+        self.vmr = np.asarray(vmr)
+        return result
+
+
+def _is_number(val):
+    try:
+        float(val)
+        return True
+    except ValueError:
+        return False
