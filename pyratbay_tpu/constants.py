@@ -85,6 +85,27 @@ ppm = 1e-6
 none = 1
 
 # ---------------------------------------------------------------------------
+# Kernel constants (compute-path parity set).
+#
+# The reference's native kernels hardcode 1986-CODATA values
+# (src_c/include/constants.h): KB = 1.380658e-16 vs the current
+# 1.380649e-16, H = 6.6260755e-27 vs 6.62607015e-27.  The ~6e-6 relative
+# difference in h*c/k is amplified by the Planck exponential to ~1e-4 in
+# the Wien tail, which is exactly the published golden-spectrum
+# tolerance.  Radiative-transfer kernels therefore use this parity set;
+# everything user-facing uses the modern constants above.
+KB_KERNEL = 1.380658e-16     # Boltzmann (erg/K), constants.h:13
+H_KERNEL = 6.6260755e-27     # Planck (erg s), constants.h:15
+LS_KERNEL = 2.99792458e10    # speed of light (cm/s), exact
+AMU_KERNEL = 1.66053886e-24  # atomic mass unit (g), constants.h:14
+EC_KERNEL = 4.8032068e-10    # electron charge (statC), constants.h:16
+ME_KERNEL = 9.1093897e-28    # electron mass (g), constants.h:17
+SIGCTE = 3.141592653589793 * EC_KERNEL**2 / LS_KERNEL**2 / ME_KERNEL
+EXPCTE = H_KERNEL * LS_KERNEL / KB_KERNEL
+C2_KERNEL = 1.4387768775039338      # h*c/k used by the alkali kernel
+C3_KERNEL = 8.852821681767784e-13   # pi e^2/(me c^2) used by alkali
+
+# ---------------------------------------------------------------------------
 # Model registries (single source of truth of what models exist).
 # Mirrors reference pyratbay/constants/code_constants.py:49-165.
 

@@ -282,6 +282,14 @@ class Model:
                 ownstep=self.grid.ownstep,
                 own=self.grid.own,
                 odivisors=self.grid.odivisors,
+                pressure=self.press,
+                tmin=cfg.tmin, tmax=cfg.tmax,
+                ndop=cfg.voigt_ndop, nlor=cfg.voigt_nlor,
+                dmin=cfg.voigt_dmin, dmax=cfg.voigt_dmax,
+                lmin=cfg.voigt_lmin, lmax=cfg.voigt_lmax,
+                dlratio=cfg.voigt_dlratio,
+                resolution_mode=self.grid.resolution is not None,
+                single_isotope=cfg.single_isotope,
             )
             imol = [species.index(mol) for mol in lbl.species]
             self.opacity_models.append(('lbl', lbl, imol))

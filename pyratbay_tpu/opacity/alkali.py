@@ -79,13 +79,16 @@ class VanderWaals:
         # Spectrum: [layer, line, wave] broadcast.
         dwn = jnp.asarray(self.wn)[None, None, :] - wn0[:, :, None]
         abs_dwn = jnp.abs(dwn)
-        strength = pc.C3 * gf[:, :, None] / self.part_func
+        strength = pc.C3_KERNEL * gf[:, :, None] / self.part_func
 
         wing = (
             voigt_det[:, :, None]
             * (abs_dwn / dsigma[:, :, None]) ** -1.5
             * strength
-            * jnp.exp(-pc.C2 * (abs_dwn - dsigma[:, :, None]) / temp[:, :, None])
+            * jnp.exp(
+                -pc.C2_KERNEL * (abs_dwn - dsigma[:, :, None])
+                / temp[:, :, None]
+            )
         )
         lor = lorentz[:, :, None]
         core = lor / np.pi / (lor**2 + dwn**2) * strength

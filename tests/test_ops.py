@@ -149,8 +149,9 @@ def test_blackbody_wn():
     temp = 1500.0
     got = np.asarray(ops.blackbody_wn(wn, temp))
     want = (
-        2 * pc.h * pc.c**2 * wn**3
-        / (np.exp(pc.h * pc.c * wn / (pc.k * temp)) - 1)
+        2 * pc.H_KERNEL * pc.LS_KERNEL**2 * wn**3
+        / (np.exp(pc.H_KERNEL * pc.LS_KERNEL * wn / (pc.KB_KERNEL * temp))
+           - 1)
     )
     np.testing.assert_allclose(got, want, rtol=1e-12)
     # Bolometric check: pi * integral B dnu = sigma T^4
