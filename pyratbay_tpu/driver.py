@@ -1,0 +1,84 @@
+"""Top-level driver: dispatch a configuration to its run mode.
+
+Reference behavior: pyratbay/driver.py (runmode in {tli, atmosphere,
+opacity, spectrum, radeq, retrieval}).
+"""
+import numpy as np
+
+from . import constants as pc
+from .config import parser as cfg_parser
+from .io import io as pio
+from .model import Model
+
+__all__ = ['run']
+
+
+def run(cfile, root=None):
+    """Execute a run mode from a configuration file.
+
+    Returns the Model (spectrum/opacity/retrieval/radeq modes), the
+    TLI summary list (tli mode), or the atmosphere tuple (atmosphere
+    mode).
+    """
+    cfg = cfg_parser.parse(cfile, root=root)
+    runmode = cfg.runmode
+
+    if runmode == 'tli':
+        from .opacity.tli import make_tli
+        tlifile = cfg.tlifile[0] if cfg.tlifile else None
+        if tlifile is None and cfg.logfile is not None:
+            import os
+            tlifile = os.path.splitext(cfg.logfile)[0] + '.tli'
+        wl_units = cfg.wlunits or 'um'
+        return make_tli(
+            cfg.dblist, cfg.pflist, cfg.dbtype, tlifile,
+            cfg.wl_low / pc.u(wl_units), cfg.wl_high / pc.u(wl_units),
+            wl_units,
+        )
+
+    if runmode == 'atmosphere':
+        model = Model(cfg, root=root)
+        temp = np.asarray(model.eval_temp())
+        vmr = model.base_vmr
+        radius = None
+        if model.rmodelname is not None and vmr is not None:
+            from .atmosphere import hydro
+            mm = hydro.mean_weight(vmr, model.mol_mass)
+            radius = np.asarray(model.eval_radius(temp, mm))
+        if cfg.output_atmfile is not None:
+            pio.write_atm(
+                cfg.output_atmfile, model.press, temp, model.species,
+                vmr, radius, punits='bar',
+            )
+        return model
+
+    model = Model(cfg, root=root)
+
+    if runmode == 'opacity':
+        model.compute_opacity()
+        return model
+
+    if runmode == 'spectrum':
+        model.run()
+        if cfg.specfile is not None:
+            wl = 1.0 / (model.wn * pc.um)
+            if model.rt_path in pc.TRANSMISSION_RT:
+                spec_type = 'transit'
+            elif model.rt_path in pc.EMISSION_RT:
+                spec_type = 'emission'
+            else:
+                spec_type = 'eclipse'
+            pio.write_spectrum(wl, model.spectrum, cfg.specfile, spec_type)
+        return model
+
+    if runmode == 'radeq':
+        from .spectrum.radeq import radiative_equilibrium
+        radiative_equilibrium(model)
+        return model
+
+    if runmode == 'retrieval':
+        from .retrieval.driver import run_retrieval
+        run_retrieval(model)
+        return model
+
+    raise ValueError(f"Invalid runmode '{runmode}'")

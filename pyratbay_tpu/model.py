@@ -366,6 +366,68 @@ class Model:
         self.quadrature_weights = weights
 
     # ------------------------------------------------------------------
+    # Opacity tabulation (runmode = opacity)
+
+    def compute_opacity(self):
+        """Tabulate LBL cross sections over a (T, layer, wave) grid and
+        write them to the sampled_cross_sec npz file.
+
+        Reference behavior: pyratbay/pyrat/extinction.py:14-126
+        (density at each cell uses the grid temperature).
+        """
+        cfg = self.cfg
+        if cfg.sampled_cs is None:
+            raise ValueError(
+                'Undefined output cross-section file (sampled_cross_sec) '
+                'needed to compute opacity table'
+            )
+        if cfg.tmin is None or cfg.tmax is None or cfg.tstep is None:
+            raise ValueError(
+                'Undefined temperature sampling (tmin/tmax/tstep) needed '
+                'to compute opacity table'
+            )
+        lbl = None
+        for mtype, model, _ in self.opacity_models:
+            if mtype == 'lbl':
+                lbl = model
+        if lbl is None:
+            raise ValueError(
+                'Undefined input TLI files (tlifile) needed to compute '
+                'opacity table'
+            )
+        if len(lbl.species) > 1:
+            raise ValueError(
+                'Cross-section files must be for a single species only, '
+                'but line-by-line data include transitions for multiple '
+                f'ones: {lbl.species}'
+            )
+        if cfg.tmin < lbl.tmin or cfg.tmax > lbl.tmax:
+            raise ValueError(
+                'Requested cross-section table temperatures '
+                f'[{cfg.tmin:.1f}, {cfg.tmax:.1f}] K lie outside the TLI '
+                f'range [{lbl.tmin:.1f}, {lbl.tmax:.1f}] K'
+            )
+        ntemp = int((cfg.tmax - cfg.tmin) / cfg.tstep) + 1
+        temps = np.linspace(
+            cfg.tmin, cfg.tmin + (ntemp - 1) * cfg.tstep, ntemp,
+        )
+        vmr = self.base_vmr
+        table = np.zeros((ntemp, self.nlayers, self.nwave))
+        for itemp, temp_val in enumerate(temps):
+            temp_profile = np.full(self.nlayers, temp_val)
+            dens = np.asarray(vmr) * (
+                self.press[:, None] * pc.bar / (pc.k * temp_val)
+            )
+            table[itemp] = lbl.cross_section(temp_profile, dens)
+        pio.write_opacity(
+            cfg.sampled_cs[0], str(lbl.species[0]), temps, self.press,
+            self.wn, table,
+        )
+        self.cs_table = table
+        self.cs_temps = temps
+        return table
+
+    # ------------------------------------------------------------------
     # Forward evaluation
 
     def model_pars(self):
