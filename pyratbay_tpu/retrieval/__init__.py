@@ -1,0 +1,3 @@
+from .params import RetrievalParams
+from .forward import build_forward, build_log_posterior
+from .samplers import sample_demc, gelman_rubin

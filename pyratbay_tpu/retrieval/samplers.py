@@ -1,0 +1,189 @@
+"""Device-resident MCMC: differential-evolution (DEMC) with snooker
+updates, running the whole ensemble as one vmapped computation.
+
+The reference runs nchains worker processes each calling the forward
+model once per step (mc3 snooker DEMC).  Here every generation
+evaluates all chains in a single vmapped forward pass -- thousands of
+chains per TPU chip -- and the generation loop is a lax.scan, so the
+entire sampler compiles to one XLA program.
+
+Moves (ter Braak 2006; ter Braak & Vrugt 2008):
+  * DE move: x' = x + gamma (x_r1 - x_r2) + e,  gamma = 2.38/sqrt(2 d)
+    (gamma = 1 every 10th generation for mode jumps);
+  * snooker move (10% of proposals): stretch along (x - z) with the
+    difference of two other chains projected onto that line.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax, random
+
+__all__ = ['sample_demc', 'gelman_rubin']
+
+
+def _propose_de(key, chains, gamma, eps_scale, free_mask):
+    """Differential-evolution proposals for all chains at once."""
+    nchains, npars = chains.shape
+    key_r1, key_r2, key_e = random.split(key, 3)
+    # Random distinct partners (distinct from self with high prob. for
+    # large ensembles; collisions only waste a proposal):
+    r1 = random.randint(key_r1, (nchains,), 0, nchains - 1)
+    r1 = jnp.where(r1 >= jnp.arange(nchains), r1 + 1, r1)
+    r2 = random.randint(key_r2, (nchains,), 0, nchains - 1)
+    r2 = jnp.where(r2 >= jnp.arange(nchains), r2 + 1, r2)
+    diff = chains[r1] - chains[r2]
+    noise = eps_scale * random.normal(key_e, chains.shape)
+    prop = chains + (gamma * diff + noise) * free_mask
+    return prop, jnp.zeros(chains.shape[0])  # symmetric: no MH factor
+
+
+def _propose_snooker(key, chains, free_mask):
+    """Snooker proposals: stretch along the line to a random chain."""
+    nchains, npars = chains.shape
+    kz, kr1, kr2, kg = random.split(key, 4)
+    z_idx = random.randint(kz, (nchains,), 0, nchains - 1)
+    z_idx = jnp.where(z_idx >= jnp.arange(nchains), z_idx + 1, z_idx)
+    z = chains[z_idx]
+    r1 = random.randint(kr1, (nchains,), 0, nchains)
+    r2 = random.randint(kr2, (nchains,), 0, nchains)
+    gamma_s = random.uniform(kg, (nchains, 1), minval=1.2, maxval=2.2)
+
+    dz = chains - z
+    norm2 = jnp.sum(dz * dz, axis=1, keepdims=True)
+    safe = jnp.where(norm2 > 0, norm2, 1.0)
+    # Project (x_r1 - x_r2) onto the x-z line:
+    proj = jnp.sum((chains[r1] - chains[r2]) * dz, axis=1, keepdims=True)
+    prop = chains + gamma_s * proj * dz / safe * free_mask
+    # Metropolis-Hastings factor |x'-z|^(d-1)/|x-z|^(d-1):
+    d_free = jnp.sum(free_mask)
+    new_norm2 = jnp.sum((prop - z)**2, axis=1)
+    log_mh = 0.5 * (d_free - 1.0) * (
+        jnp.log(jnp.where(new_norm2 > 0, new_norm2, 1.0))
+        - jnp.log(jnp.where(norm2[:, 0] > 0, norm2[:, 0], 1.0))
+    )
+    return prop, log_mh
+
+
+def sample_demc(
+        log_post, init_params, nsamples, key=None, nchains=None,
+        pstep=None, pmin=None, pmax=None,
+        snooker_fraction=0.1, thin=1, burnin=0,
+    ):
+    """Run snooker-DEMC over a vmapped ensemble.
+
+    Parameters
+    ----------
+    log_post: params [npars] -> scalar log-posterior (pure function).
+    init_params: [npars] center for initialization, or [nchains, npars]
+        explicit initial ensemble.
+    nsamples: total number of posterior draws (nchains * ngen).
+    pstep: per-parameter scale (0 = fixed); used for initialization
+        jitter and proposal noise.
+
+    Returns dict with 'posterior' [nkept, npars], 'log_post' [nkept],
+    'chains' (final state), 'acceptance_rate', 'bestp', 'best_log_post'.
+    """
+    if key is None:
+        key = random.PRNGKey(0)
+    init_params = jnp.atleast_2d(jnp.asarray(init_params, jnp.float64))
+    if init_params.shape[0] == 1:
+        if nchains is None:
+            raise ValueError('nchains needed with a single init vector')
+        npars = init_params.shape[1]
+        step = (
+            jnp.where(jnp.asarray(pstep) > 0, jnp.asarray(pstep), 0.0)
+            if pstep is not None else 0.01 * jnp.abs(init_params[0]) + 1e-4
+        )
+        key, kinit = random.split(key)
+        chains = init_params + step * random.normal(
+            kinit, (nchains, npars),
+        )
+    else:
+        chains = init_params
+        nchains, npars = chains.shape
+    if pmin is not None:
+        chains = jnp.clip(
+            chains, jnp.asarray(pmin), jnp.asarray(pmax),
+        )
+
+    free_mask = (
+        (jnp.asarray(pstep) > 0).astype(chains.dtype)
+        if pstep is not None else jnp.ones(npars, chains.dtype)
+    )
+    d_free = float(np.sum(np.asarray(free_mask)))
+    gamma0 = 2.38 / np.sqrt(2.0 * max(d_free, 1.0))
+    eps_scale = 1e-4 * jnp.where(
+        jnp.asarray(pstep) > 0, jnp.asarray(pstep), 0.0,
+    ) if pstep is not None else 1e-6
+
+    vmapped_logpost = jax.vmap(log_post)
+    logp = vmapped_logpost(chains)
+
+    ngen = int(np.ceil(nsamples / nchains))
+
+    def generation(state, inputs):
+        chains, logp = state
+        key, gen_idx = inputs
+        k_choice, k_de, k_snook, k_accept = random.split(key, 4)
+
+        gamma = jnp.where(gen_idx % 10 == 9, 1.0, gamma0)
+        prop_de, mh_de = _propose_de(
+            k_de, chains, gamma, eps_scale, free_mask,
+        )
+        prop_sn, mh_sn = _propose_snooker(k_snook, chains, free_mask)
+        use_snooker = (
+            random.uniform(k_choice, (chains.shape[0], 1))
+            < snooker_fraction
+        )
+        prop = jnp.where(use_snooker, prop_sn, prop_de)
+        log_mh = jnp.where(use_snooker[:, 0], mh_sn, mh_de)
+
+        logp_prop = vmapped_logpost(prop)
+        log_alpha = logp_prop - logp + log_mh
+        accept = (
+            jnp.log(random.uniform(k_accept, (chains.shape[0],)))
+            < log_alpha
+        )
+        new_chains = jnp.where(accept[:, None], prop, chains)
+        new_logp = jnp.where(accept, logp_prop, logp)
+        return (new_chains, new_logp), (new_chains, new_logp, accept)
+
+    keys = random.split(key, ngen)
+    gen_ids = jnp.arange(ngen)
+    (chains, logp), (hist_chains, hist_logp, hist_accept) = lax.scan(
+        generation, (chains, logp), (keys, gen_ids),
+    )
+
+    kept = hist_chains[burnin::thin]
+    kept_logp = hist_logp[burnin::thin]
+    posterior = kept.reshape(-1, npars)
+    flat_logp = kept_logp.reshape(-1)
+    ibest = jnp.argmax(flat_logp)
+    return {
+        'posterior': posterior,
+        'log_post': flat_logp,
+        'chains': chains,
+        'chain_history': hist_chains,
+        'acceptance_rate': jnp.mean(hist_accept),
+        'bestp': posterior[ibest],
+        'best_log_post': flat_logp[ibest],
+    }
+
+
+def gelman_rubin(chain_history):
+    """Gelman-Rubin potential scale reduction factor per parameter.
+
+    chain_history: [ngen, nchains, npars] post-burn-in samples.
+    """
+    chain_history = jnp.asarray(chain_history)
+    ngen, nchains, npars = chain_history.shape
+    chain_means = jnp.mean(chain_history, axis=0)       # [nchains, npars]
+    grand_mean = jnp.mean(chain_means, axis=0)
+    between = ngen / (nchains - 1) * jnp.sum(
+        (chain_means - grand_mean)**2, axis=0,
+    )
+    within = jnp.mean(jnp.var(chain_history, axis=0, ddof=1), axis=0)
+    var_est = (ngen - 1) / ngen * within + between / ngen
+    return jnp.sqrt(var_est / jnp.where(within > 0, within, 1.0))

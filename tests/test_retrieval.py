@@ -1,0 +1,169 @@
+"""Retrieval machinery: parameter mapping, jitted forward+posterior,
+and the device-resident snooker-DEMC ensemble sampler.
+
+End-to-end: synthesize observations from known parameters, retrieve
+them, and check the posterior recovers the truth.
+"""
+import configparser
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from conftest import requires_reference, REFERENCE_ROOT
+
+from pyratbay_tpu.model import Model
+from pyratbay_tpu.observation import Observation
+from pyratbay_tpu.opacity.tli import make_tli
+from pyratbay_tpu.retrieval import (
+    RetrievalParams, build_forward, build_log_posterior, sample_demc,
+    gelman_rubin,
+)
+
+MOCK_PAR = REFERENCE_ROOT + 'tests/inputs/Mock_HITRAN_H2O_1.00-1.01um.par'
+BASE_CFG = REFERENCE_ROOT + 'tests/configs/spectrum_transmission_test.cfg'
+
+RETRIEVAL_PARAMS = """
+    log_kappa'   -4.67  -9.0  5.0  0.3
+    log_gamma1   -0.8   -3.0  3.0  0.0
+    log_gamma2   -0.8   -3.0  3.0  0.0
+    alpha         0.5    0.0  1.0  0.0
+    T_irr      1486.0  100.0 3000.0 50.0
+    T_int       100.0    0.0  500.0  0.0
+    log_H2O      -3.4   -9.0 -1.0  0.5
+    R_planet      1.0    0.5  4.5  0.03
+"""
+
+
+@pytest.fixture(scope='module')
+def retrieval_setup(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('retrieval')
+    tli_file = str(tmp / 'h2o.tli')
+    make_tli([MOCK_PAR], ['tips'], ['hitran'], tli_file, 1.0, 1.01, 'um')
+
+    # Tabulate cross sections:
+    ini = configparser.ConfigParser()
+    ini.optionxform = str
+    ini.read(BASE_CFG)
+    for key in ('sampled_cross_sec', 'continuum_cross_sec', 'alkali',
+                'clouds'):
+        ini.remove_option('pyrat', key)
+    cs_file = str(tmp / 'extable.npz')
+    ini.set('pyrat', 'runmode', 'opacity')
+    ini.set('pyrat', 'tlifile', tli_file)
+    ini.set('pyrat', 'sampled_cross_sec', cs_file)
+    ini.set('pyrat', 'wl_low', '1.0 um')
+    ini.set('pyrat', 'wl_high', '1.01 um')
+    ini.set('pyrat', 'tmin', '300')
+    ini.set('pyrat', 'tmax', '3000')
+    ini.set('pyrat', 'tstep', '300')
+    cfg_op = str(tmp / 'opacity.cfg')
+    with open(cfg_op, 'w') as f:
+        ini.write(f)
+    from pyratbay_tpu import driver
+    driver.run(cfg_op, root=REFERENCE_ROOT)
+
+    # Retrieval model config:
+    ini.set('pyrat', 'runmode', 'retrieval')
+    ini.remove_option('pyrat', 'tlifile')
+    ini.set('pyrat', 'tmodel', 'guillot')
+    ini.set('pyrat', 'tpars', '-4.67 -0.8 -0.8 0.5 1486.0 100.0')
+    ini.set('pyrat', 'vmr_vars', 'log_H2O -3.4')
+    ini.set('pyrat', 'bulk', 'H2 He')
+    ini.set('pyrat', 'retrieval_params', RETRIEVAL_PARAMS)
+    ini.set('pyrat', 'tlow', '300')
+    ini.set('pyrat', 'thigh', '3000')
+    cfg_ret = str(tmp / 'retrieval.cfg')
+    with open(cfg_ret, 'w') as f:
+        ini.write(f)
+
+    model = Model(cfg_ret, root=REFERENCE_ROOT)
+
+    # Synthetic observation: 5 tophat bands across the window.
+    class _Cfg:
+        data = None
+        uncert = None
+        filters = [
+            f'tophat {wl0:.5f} 0.0008'
+            for wl0 in np.linspace(1.0012, 1.0088, 5)
+        ]
+        obsfile = None
+        dunits = None
+        offset_inst = None
+        uncert_scaling = None
+
+    obs = Observation(_Cfg, model.wn)
+    ret = RetrievalParams(model, obs)
+    forward = jax.jit(build_forward(model, obs, ret))
+
+    truth = np.asarray(ret.params)
+    band_true = np.asarray(forward(jnp.asarray(truth))['bandflux'])
+    rng = np.random.default_rng(7)
+    obs.uncert = np.full(obs.nbands, 2e-6)
+    obs.data = band_true + rng.normal(0, 2e-6, obs.nbands)
+    return model, obs, ret, forward, truth
+
+
+@requires_reference
+def test_param_mapping(retrieval_setup):
+    model, obs, ret, forward, truth = retrieval_setup
+    assert ret.nparams == 8
+    assert ret.itemp == [0, 1, 2, 3, 4, 5]
+    assert ret.map_temp == [0, 1, 2, 3, 4, 5]
+    assert ret.imol == [6]
+    assert ret.irad == 7
+    assert list(ret.ifree) == [0, 4, 6, 7]
+
+
+@requires_reference
+def test_forward_responds_to_params(retrieval_setup):
+    model, obs, ret, forward, truth = retrieval_setup
+    base = np.asarray(forward(jnp.asarray(truth))['bandflux'])
+    # More H2O -> deeper transit:
+    rich = truth.copy()
+    rich[6] = -2.0
+    deep = np.asarray(forward(jnp.asarray(rich))['bandflux'])
+    assert np.all(deep >= base)
+    # Bigger planet -> deeper everywhere:
+    big = truth.copy()
+    big[7] = 1.1
+    deeper = np.asarray(forward(jnp.asarray(big))['bandflux'])
+    assert np.all(deeper > base)
+    # Out-of-bounds temperature -> rejected (inf bandflux):
+    hot = truth.copy()
+    hot[4] = 2900.0
+    hot[0] = 3.0   # extreme kappa -> T out of bounds
+    res = forward(jnp.asarray(hot))
+    assert not bool(res['good']) or np.all(np.isfinite(res['bandflux']))
+
+
+@requires_reference
+def test_demc_retrieval_recovers_truth(retrieval_setup):
+    model, obs, ret, forward, truth = retrieval_setup
+    log_post = jax.jit(build_log_posterior(model, obs, ret))
+    assert np.isfinite(float(log_post(jnp.asarray(truth))))
+
+    results = sample_demc(
+        log_post, ret.params, nsamples=24 * 600,
+        key=jax.random.PRNGKey(3), nchains=24,
+        pstep=ret.pstep, pmin=ret.pmin, pmax=ret.pmax,
+        burnin=300,
+    )
+    accept = float(results['acceptance_rate'])
+    assert 0.05 < accept < 0.95
+
+    posterior = np.asarray(results['posterior'])
+    # Free params: log_kappa', T_irr, log_H2O, R_planet
+    for ipar in (6, 7):
+        lo, hi = np.percentile(posterior[:, ipar], [0.5, 99.5])
+        assert lo - 0.5 <= truth[ipar] <= hi + 0.5, (
+            f'param {ipar}: truth {truth[ipar]} outside [{lo}, {hi}]'
+        )
+    # Fixed parameters must not move:
+    for ipar in (1, 2, 3, 5):
+        assert np.ptp(posterior[:, ipar]) == 0.0
+
+    history = np.asarray(results['chain_history'])[300:]
+    gr = np.asarray(gelman_rubin(history))
+    assert np.all(gr[np.asarray(ret.pstep) > 0] < 1.5)
