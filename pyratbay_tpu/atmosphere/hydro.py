@@ -45,10 +45,14 @@ def hydro_m(press, temp, mu, mass, p0, r0):
     """
     press = jnp.asarray(press)
     logp = jnp.log(press)
-    integ = cumtrapz(pc.k * pc.N_A * temp / (pc.G * mu * mass), logp)
+    # Work in r0-normalized units: values are O(1) so the formulation
+    # stays accurate in float32 (1/r in cm^-1 is ~1e-10 with ~1e-12
+    # differences, which f32 cannot resolve).
+    integ = cumtrapz(
+        r0 * pc.k * pc.N_A * temp / (pc.G * mu * mass), logp,
+    )
     i0 = jnp.interp(p0, press, integ)
-    inv_r = integ - i0 + 1.0 / r0
-    radius = 1.0 / inv_r
+    radius = r0 / (integ - i0 + 1.0)
 
     # Mask diverging top: find the deepest layer j with radius[j]<=radius[j+1]
     # and set layers [0, j] to inf.

@@ -158,6 +158,15 @@ class Model:
         self.tint = cfg.tint
         self.beta_irr = cfg.beta_irr
         self.rhill = hydro.hill_radius(self.smaxis, self.mplanet, self.mstar)
+        # Static radius scale for float32-safe transit geometry (chord
+        # lengths come from differences of squared radii; computing them
+        # on O(1) values keeps full relative precision):
+        if self.rplanet is not None:
+            self._radius_scale = float(self.rplanet)
+        elif self.input_radius is not None:
+            self._radius_scale = float(np.mean(self.input_radius))
+        else:
+            self._radius_scale = 1.0
 
         # Free-VMR parameterization (vmr_vars config):
         self._setup_vmr_models()
@@ -221,9 +230,12 @@ class Model:
                     f'atmosphere: {missing}'
                 )
             self.ibulk = [species.index(mol) for mol in self.bulk]
-            self.bulkratio, self.invsrat = vmr_models.bulk_ratio(
-                jnp.asarray(self.base_vmr), np.asarray(self.ibulk),
-            )
+            # Host-side (setup must not dispatch eager device ops):
+            bratio = self.base_vmr[:, self.ibulk] \
+                / self.base_vmr[:, [self.ibulk[0]]]
+            bratio[:, 0] = 1.0
+            self.bulkratio = bratio
+            self.invsrat = 1.0 / np.sum(bratio, axis=1)
 
     def _setup_star(self):
         cfg = self.cfg
@@ -431,11 +443,11 @@ class Model:
     # Forward evaluation
 
     def model_pars(self):
-        """Current parameter arrays for each parametric opacity model."""
+        """Current parameter arrays per opacity model (None if no pars)."""
         return [
             jnp.asarray(np.array(model.pars, float))
+            if getattr(model, 'npars', 0) > 0 else None
             for _, model, _ in self.opacity_models
-            if getattr(model, 'npars', 0) > 0
         ]
 
     def eval_temp(self, tpars=None):
@@ -495,11 +507,8 @@ class Model:
         ec = jnp.zeros((self.nlayers, self.nwave))
         ec_cloud = jnp.zeros((self.nlayers, self.nwave))
         deck_surface = None
-        ipar = 0
-        for mtype, model, imol in self.opacity_models:
-            has_pars = getattr(model, 'npars', 0) > 0
-            pars = pars_list[ipar] if has_pars else None
-            ipar += has_pars
+        for (mtype, model, imol), pars in zip(
+                self.opacity_models, pars_list):
 
             skipped = model.name in skip or mtype in skip
             if model.name == 'deck':
@@ -564,14 +573,21 @@ class Model:
             deck_itop = rsurf = None
             ibottom = nlayers
 
+        # Radius-normalized geometry (float32-safe; scale cancels in
+        # the (Rp/Rs)^2 output):
+        rscale = self._radius_scale
+        rr = radius / rscale
+        rstar_n = self.rstar / rscale
+        rsurf_n = None if rsurf is None else rsurf / rscale
+
         ec_total = ec + ec_cloud if self.is_patchy else ec
-        path = geometry.transit_path_matrix(radius, rtop)
+        path = geometry.transit_path_matrix(rr, rtop) * rscale
         depth, ideep = rt.transit_depth(
             ec_total, path, self.maxdepth, rtop, ibottom,
         )
         spectrum = rt.transmission_spectrum(
-            depth, ideep, radius, self.rstar, rtop,
-            deck_rsurf=rsurf, deck_itop=deck_itop,
+            depth, ideep, rr, rstar_n, rtop,
+            deck_rsurf=rsurf_n, deck_itop=deck_itop,
         )
         result = {'spectrum': spectrum, 'depth': depth, 'ideep': ideep}
         if self.is_patchy:
@@ -580,7 +596,7 @@ class Model:
                 ec, path, self.maxdepth, rtop, nlayers,
             )
             clear = rt.transmission_spectrum(
-                depth_clear, ideep_clear, radius, self.rstar, rtop,
+                depth_clear, ideep_clear, rr, rstar_n, rtop,
             )
             result['cloudy'] = cloudy
             result['clear'] = clear

@@ -58,15 +58,23 @@ class CIA:
                 cross_section = np.fliplr(cross_section)
         self.nwave = len(self.wn)
 
-        # per amagat^N -> per (molec cm-3)^N:
-        cross_section = cross_section / pc.amagat**self.nspec
-        self.tab_cross_section = cross_section
+        # Keep the table in amagat^-N units: the values are O(1e-7),
+        # float32-safe; the (molec cm-3)^-N normalization (~1e-44 for
+        # pairs, below the f32 subnormal range) is applied only in the
+        # float64 cross_section API, while extinction() works with
+        # amagat-normalized densities throughout.
+        self.tab_cs_amagat = cross_section
+        self.tab_cross_section = cross_section / pc.amagat**self.nspec
 
         # Wavenumber span actually covered by the table:
         good = (self.wn >= tab_wn.min()) & (self.wn <= tab_wn.max())
         self._wn_lo = int(np.where(good)[0][0])
         self._wn_hi = int(np.where(good)[0][-1]) + 1
         self._dcs_dt = (
+            np.diff(self.tab_cross_section, axis=0)
+            / np.expand_dims(np.ediff1d(self.temps), 1)
+        )
+        self._dcs_dt_amagat = (
             np.diff(cross_section, axis=0)
             / np.expand_dims(np.ediff1d(self.temps), 1)
         )
@@ -86,6 +94,15 @@ class CIA:
         )
 
     def extinction(self, temperature, densities):
-        """EC (cm-1): densities [nlayers, nspec] of the colliding pair."""
-        cs = self.cross_section(temperature)
-        return cs * jnp.prod(densities, axis=1, keepdims=True)
+        """EC (cm-1): densities [nlayers, nspec] of the colliding pair.
+
+        Evaluated in amagat-normalized units so every intermediate is
+        O(1)-ranged and float32-safe.
+        """
+        temp = jnp.clip(jnp.asarray(temperature), self.tmin, self.tmax)
+        cs_amagat = lin_interp_trow(
+            self.tab_cs_amagat, self.temps, self._dcs_dt_amagat, temp,
+            self._wn_lo, self._wn_hi,
+        )
+        dens_amagat = jnp.asarray(densities) / pc.amagat
+        return cs_amagat * jnp.prod(dens_amagat, axis=1, keepdims=True)

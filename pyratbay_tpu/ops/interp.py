@@ -96,6 +96,7 @@ def lin_interp_trow(table, xin, dy_dx, xout, lo=0, hi=None):
     table = jnp.asarray(table)
     xin = jnp.asarray(xin)
     xout = jnp.asarray(xout)
+    dy_dx = jnp.asarray(dy_dx)
     nx, ncol = table.shape
     if hi is None:
         hi = ncol

@@ -45,16 +45,19 @@ def build_forward(model, obs=None, ret=None, dtype=None):
                 'sampled_cross_sec'
             )
 
+    # Closures hold host numpy arrays: they are embedded as constants
+    # at trace time, so building the forward dispatches no eager device
+    # ops (required on remote-TPU tunnels where eager mode stalls).
     nlayers = model.nlayers
-    press = jnp.asarray(model.press)
-    mol_mass = jnp.asarray(model.mol_mass)
-    base_vmr = jnp.asarray(model.base_vmr)
+    press = np.asarray(model.press)
+    mol_mass = np.asarray(model.mol_mass)
+    base_vmr = np.asarray(model.base_vmr)
     base_temp = (
-        None if model.base_temp is None else jnp.asarray(model.base_temp)
+        None if model.base_temp is None else np.asarray(model.base_temp)
     )
     temp_model = model.temp_model
     base_tpars = (
-        None if model.tpars is None else jnp.asarray(model.tpars)
+        None if model.tpars is None else np.asarray(model.tpars)
     )
     rt_path = model.rt_path
     is_transit = rt_path in pc.TRANSMISSION_RT
@@ -70,19 +73,19 @@ def build_forward(model, obs=None, ret=None, dtype=None):
     qcap = ret.qcap if ret is not None else None
 
     base_pars = [
-        jnp.asarray(np.array(m.pars, float))
+        np.array(m.pars, float)
         if getattr(m, 'npars', 0) > 0 else None
         for _, m, _ in model.opacity_models
     ]
     base_vmr_pars = model.vmr_pars
     runits = pc.u(model.cfg.runits or 'rjup')
     mass_units = pc.u(model.cfg.mass_units or 'mjup')
-    quadrature_mu = jnp.asarray(model.quadrature_mu)
-    quadrature_w = jnp.asarray(model.quadrature_weights)[:, None]
+    quadrature_mu = np.asarray(model.quadrature_mu)
+    quadrature_w = np.asarray(model.quadrature_weights)[:, None]
     starflux = (
-        None if model.starflux is None else jnp.asarray(model.starflux)
+        None if model.starflux is None else np.asarray(model.starflux)
     )
-    wn = jnp.asarray(model.wn)
+    wn = np.asarray(model.wn)
 
     def forward(params=None):
         # ---- Map parameters onto model slots:
@@ -99,9 +102,9 @@ def build_forward(model, obs=None, ret=None, dtype=None):
         if ret is not None and params is not None:
             params = jnp.asarray(params)
             if ret.itemp:
-                tp = (
+                tp = jnp.asarray(
                     base_tpars if base_tpars is not None
-                    else jnp.zeros(len(ret.map_temp))
+                    else np.zeros(len(ret.map_temp))
                 )
                 tpars = tp.at[jnp.asarray(ret.map_temp)].set(
                     params[jnp.asarray(ret.itemp)],
@@ -116,7 +119,7 @@ def build_forward(model, obs=None, ret=None, dtype=None):
                     zip(ret.iopacity, ret.map_opacity)):
                 if not idx:
                     continue
-                pars = pars_list[j]
+                pars = jnp.asarray(pars_list[j])
                 pars = pars.at[jnp.asarray(slots)].set(
                     params[jnp.asarray(idx)],
                 )

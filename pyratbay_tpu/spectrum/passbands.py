@@ -194,7 +194,9 @@ def band_matrix(bands, nwave):
 
     Device-side band integration is then `jnp.dot(matrix, spectrum)`.
     """
-    return jnp.asarray(np.stack([band.weights(nwave) for band in bands]))
+    # Host numpy: converted on trace, so building it dispatches no
+    # eager device ops (required on remote-TPU tunnels).
+    return np.stack([band.weights(nwave) for band in bands])
 
 
 def bin_spectrum(bin_wl, wl, spectrum, half_widths=None, gaps=None):

@@ -5,14 +5,21 @@ Reference behavior: pyratbay/spectrum/blackbody.py and kurucz.py.
 import numpy as np
 
 from .. import constants as pc
-from ..ops.planck import blackbody_wn
 
 __all__ = ['bbflux', 'read_kurucz']
 
 
 def bbflux(wn, teff):
-    """Blackbody surface flux pi*B_nu(T) in erg s-1 cm-2 cm."""
-    return np.pi * blackbody_wn(wn, teff)
+    """Blackbody surface flux pi*B_nu(T) in erg s-1 cm-2 cm.
+
+    Host-side numpy (setup path); the jitted compute path uses
+    ops.planck.blackbody_wn.  Same kernel-parity constants.
+    """
+    wn = np.asarray(wn, float)
+    factor = 2.0 * pc.H_KERNEL * pc.LS_KERNEL**2 * wn**3
+    return np.pi * factor / np.expm1(
+        pc.H_KERNEL * pc.LS_KERNEL * wn / (pc.KB_KERNEL * teff)
+    )
 
 
 def read_kurucz(filename, temp=None, logg=None):
