@@ -84,24 +84,30 @@ class Hitran(Linelist):
             f.seek(0)
             raw = f.read()
         nlines = len(raw) // recsize
-        rec = np.frombuffer(raw, dtype=f'S{recsize}', count=nlines)
-        # Fixed-column fields of the 160-char HITRAN record:
-        view = rec.view(f'S1').reshape(nlines, recsize)
 
-        def col(lo, hi, dtype=float):
-            text = view[:, lo:hi].view(f'S{hi-lo}').ravel()
-            return np.char.strip(text.astype(str)).astype(dtype)
+        # Native multithreaded parser when available (the IO hot path
+        # for GB-scale HITEMP lists); numpy fallback otherwise:
+        from ..runtime import parse_hitran_records
+        native = parse_hitran_records(raw, recsize)
+        if native is not None:
+            wn, a21, g2, elow, iso_id = native
+        else:
+            rec = np.frombuffer(raw, dtype=f'S{recsize}', count=nlines)
+            view = rec.view(f'S1').reshape(nlines, recsize)
 
-        wn = col(3, 15)
-        db_range = wn[0], wn[-1]
-        if wn_low > db_range[1] or wn_high < db_range[0]:
+            def col(lo, hi, dtype=float):
+                text = view[:, lo:hi].view(f'S{hi-lo}').ravel()
+                return np.char.strip(text.astype(str)).astype(dtype)
+
+            wn = col(3, 15)
+            iso_char = view[:, 2].astype(str)
+            a21 = col(25, 35)
+            elow = col(45, 55)
+            g2 = col(146, 153)
+            iso_id = np.array([_HITRAN_ISO_MAP[ch] for ch in iso_char])
+
+        if wn_low > wn[-1] or wn_high < wn[0]:
             return None
-        iso_char = view[:, 2].astype(str)
-        a21 = col(25, 35)
-        elow = col(45, 55)
-        g2 = col(146, 153)
-
-        iso_id = np.array([_HITRAN_ISO_MAP[ch] for ch in iso_char])
         gf = _gf_from_a21(g2, a21, wn)
 
         # Range + valid-Elow filter (Rothman et al. 1996 flags bad

@@ -256,7 +256,17 @@ def read_tli(tli_file, wn_low=-np.inf, wn_high=np.inf):
         gf = np.frombuffer(f.read(8 * n_transitions), '<f8')
 
     # Per-isotope wavenumber-range extraction (arrays are sorted by
-    # isotope then wavenumber):
+    # isotope then wavenumber).  Native binary-search path when the
+    # runtime library is available:
+    if np.isfinite(wn_low) or np.isfinite(wn_high):
+        from ..runtime import tli_extract_range
+        native = tli_extract_range(
+            wn, iso_id, elow, gf, niso_tran,
+            float(wn_low), float(wn_high),
+        )
+        if native is not None:
+            out_wn, out_iso, out_elow, out_gf = native
+            return databases, out_wn, out_gf, out_elow, out_iso
     keep = np.zeros(n_transitions, bool)
     start = 0
     for count in niso_tran:

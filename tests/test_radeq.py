@@ -1,0 +1,48 @@
+"""Radiative-equilibrium loop: converges toward a flux-balanced
+profile for a gray-ish atmosphere."""
+import configparser
+
+import numpy as np
+
+from conftest import requires_reference, REFERENCE_ROOT
+
+from pyratbay_tpu.model import Model
+from pyratbay_tpu.spectrum.radeq import radiative_equilibrium
+
+EMISSION_CFG = REFERENCE_ROOT + 'tests/configs/spectrum_emission_test.cfg'
+
+
+@requires_reference
+def test_radeq_runs_and_reduces_imbalance(tmp_path):
+    ini = configparser.ConfigParser()
+    ini.optionxform = str
+    ini.read(EMISSION_CFG)
+    for key in ('sampled_cross_sec', 'alkali', 'clouds'):
+        ini.remove_option('pyrat', key)
+    ini.set('pyrat', 'runmode', 'radeq')
+    ini.set('pyrat', 'rt_path', 'emission_two_stream')
+    ini.set('pyrat', 'tstar', '5800.0')
+    ini.set('pyrat', 'rstar', '1.27 rsun')
+    cfg = str(tmp_path / 'radeq.cfg')
+    with open(cfg, 'w') as f:
+        ini.write(f)
+
+    model = Model(cfg, root=REFERENCE_ROOT)
+    temps = radiative_equilibrium(model, nsamples=20)
+    assert temps.shape == (21, model.nlayers)
+    assert np.all(np.isfinite(temps))
+    assert np.all(temps[-1] > 0)
+    # Iterations change the profile (the initial one is not balanced):
+    assert np.max(np.abs(temps[-1] - temps[0])) > 1.0
+    # The final steps move less than the initial ones (approaching
+    # balance):
+    early = np.mean(np.abs(temps[2] - temps[1]))
+    late = np.mean(np.abs(temps[-1] - temps[-2]))
+    assert late < early
+
+    # Warm restart reuses state:
+    temps2 = radiative_equilibrium(
+        model, nsamples=5,
+        radeq_temps=model.radeq_temps, dt_scale=model._dt_scale,
+    )
+    assert temps2.shape == (26, model.nlayers)
