@@ -15,8 +15,12 @@ from . import atmosphere
 from . import opacity
 from . import spectrum
 from . import io
+from . import tools
+from .driver import run
+from .model import Model
 
 __all__ = [
     '__version__',
     'constants', 'ops', 'atmosphere', 'opacity', 'spectrum', 'io',
+    'tools', 'run', 'Model',
 ]

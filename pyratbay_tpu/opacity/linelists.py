@@ -236,10 +236,173 @@ def get_exomol_mol(dbfile):
     return molecule, isotope
 
 
+class Pands(Linelist):
+    """Partridge & Schwenke (1997) H2O binary line list.
+
+    Records are packed (uint32 log-wavelength index, int16 Elow code,
+    int16 gf code); gf/Elow decode through a 10^(0.001 x) table and the
+    isotope hides in the sign bits.
+    """
+
+    _RATIOLOG = np.log(1.0 + 1.0 / 2e6)
+    _TABLOG = 10.0 ** (0.001 * (np.arange(32769) - 16384))
+
+    def __init__(self, dbfile, pffile):
+        super().__init__(dbfile, pffile)
+        # Short (exomol-style) isotope labels, consistent with the PF
+        # files written by partitions.kurucz:
+        self.isotopes = ['116', '117', '118', '126']
+        self.mass = [18.01056468, 19.01478156, 20.01481046, 19.01684143]
+        self.isoratio = [0.997000, 0.000508, 0.000508, 0.001984]
+        self.molecule = 'H2O'
+        self.name = 'Partridge & Schwenke (1997)'
+
+    def dbread(self, wn_low, wn_high):
+        dtype = np.dtype([('iw', '<u4'), ('ielo', '<i2'), ('igf', '<i2')])
+        data = np.fromfile(self.dbfile, dtype=dtype)
+        wn = 1.0 / (np.exp(data['iw'] * self._RATIOLOG) * pc.nm)
+        # File is sorted by increasing wavelength = decreasing wn:
+        if wn_low > wn[0] or wn_high < wn[-1]:
+            if wn_low > np.amax(wn) or wn_high < np.amin(wn):
+                return None
+        keep = (wn >= wn_low) & (wn <= wn_high)
+        data = data[keep]
+        wn = wn[keep]
+        gf = 4.0 * self._TABLOG[np.abs(data['igf'])]
+        elow = np.abs(data['ielo']).astype(float)
+        iso_id = 2 * (data['ielo'] < 0) + 1 * (data['igf'] < 0)
+        order = np.argsort(wn)
+        return wn[order], gf[order], elow[order], iso_id[order]
+
+
+class Tioschwenke(Linelist):
+    """Schwenke (1998) TiO binary line list (Kurucz distribution)."""
+
+    _RATIOLOG = np.log(1.0 + 1.0 / 2e6)
+    _TABLOG = 10.0 ** (0.001 * (np.arange(32769) - 16384))
+
+    def __init__(self, dbfile, pffile):
+        super().__init__(dbfile, pffile)
+        self.name = 'Schwenke TiO (1998)'
+        self.molecule = 'TiO'
+        isotopes, mass, ratio = get_iso(self.molecule)
+        self.isotopes = isotopes
+        self.mass = mass
+        self.isoratio = ratio
+
+    def dbread(self, wn_low, wn_high):
+        # 16-byte records; first 10 bytes are (int32 iw, 3x int16):
+        dtype = np.dtype([
+            ('iw', '<i4'), ('ieli', '<i2'), ('ielo', '<i2'),
+            ('igf', '<i2'), ('pad', 'V6'),
+        ])
+        data = np.fromfile(self.dbfile, dtype=dtype)
+        wn = 1.0 / (np.exp(data['iw'] * self._RATIOLOG) * pc.nm)
+        if wn_low > np.amax(wn) or wn_high < np.amin(wn):
+            return None
+        keep = (wn >= wn_low) & (wn <= wn_high)
+        data = data[keep]
+        wn = wn[keep]
+        gf = self._TABLOG[data['igf']]
+        elow = self._TABLOG[data['ielo']]
+        iso_id = np.abs(data['ieli']) - 8950
+        order = np.argsort(wn)
+        return wn[order], gf[order], elow[order], iso_id[order]
+
+
+class Voplez(Linelist):
+    """Plez (1998) VO ASCII line list (53-char records, sorted by
+    wavelength; Elow in eV)."""
+
+    def __init__(self, dbfile, pffile):
+        super().__init__(dbfile, pffile)
+        self.name = 'Bertrand Plez VO'
+        self.molecule = 'VO'
+        self.isotopes = ['16']
+        self.mass = [66.941]
+        self.isoratio = [1.0]
+        # Partition-function polynomial coefficients (B. Plez):
+        self.pf_coeffs = np.array([[
+            6.62090157e+02, -4.03350494e+02, 9.82836218e+01,
+            -1.18526504e+01, 7.08429905e-01, -1.67235124e-02,
+        ]])
+
+    def dbread(self, wn_low, wn_high):
+        recsize = 53
+        with open(self.dbfile, 'rb') as f:
+            raw = f.read()
+        nlines = len(raw) // recsize
+        rec = np.frombuffer(raw, dtype=f'S{recsize}', count=nlines)
+        view = rec.view('S1').reshape(nlines, recsize)
+
+        def col(lo, hi):
+            text = view[:, lo:hi].view(f'S{hi-lo}').ravel()
+            return np.char.strip(text.astype(str)).astype(float)
+
+        wn = col(33, 43)
+        if wn_low > np.amax(wn) or wn_high < np.amin(wn):
+            return None
+        keep = (wn >= wn_low) & (wn <= wn_high)
+        gf = col(21, 32)[keep]
+        elow = col(44, 50)[keep] * pc.eV   # eV -> cm-1
+        wn = wn[keep]
+        iso_id = np.zeros(len(wn), int)
+        order = np.argsort(wn)
+        return wn[order], gf[order], elow[order], iso_id[order]
+
+
+class Vald(Linelist):
+    """VALD atomic line lists (short-format CSV extract)."""
+
+    def __init__(self, dbfile, pffile, ion=None):
+        super().__init__(dbfile, pffile)
+        if ion is None:
+            # Infer the ion from the file name, e.g. VALD_Fe.dat -> Fe:
+            base = os.path.splitext(os.path.basename(dbfile))[0]
+            ion = base.split('_')[-1]
+        self.molecule = ion
+        self.isotopes = [ion]
+        self.isoratio = [1.0]
+        atom = ion.replace('+', '')
+        ion_count = 1 + ion.count('+')
+        ion_label = f"'{atom} {ion_count}'"
+        with open(dbfile) as f:
+            self._data = [
+                line for line in f.readlines()
+                if line.startswith(ion_label)
+            ]
+        self.name = f'VALD {self.molecule}'
+        from ..io.io import read_molecs
+        names, masses, _ = read_molecs()
+        if atom in names:
+            self.mass = [float(masses[list(names).index(atom)])]
+        else:
+            self.mass = [1.0]
+
+    def dbread(self, wn_low, wn_high):
+        if not self._data:
+            return None
+        records = [line.split(',') for line in self._data]
+        wn = np.array([rec[1] for rec in records], float)
+        if wn_low > np.amax(wn) or wn_high < np.amin(wn):
+            return None
+        keep = (wn >= wn_low) & (wn <= wn_high)
+        elow = np.array([rec[2] for rec in records], float)[keep]
+        loggf = np.array([rec[3] for rec in records], float)[keep]
+        wn = wn[keep]
+        iso_id = np.zeros(len(wn), int)
+        order = np.argsort(wn)
+        return wn[order], 10.0**loggf[order], elow[order], iso_id[order]
+
+
 _READERS = {
     'hitran': Hitran,
     'exomol': Exomol,
     'repack': Repack,
+    'pands': Pands,
+    'tioschwenke': Tioschwenke,
+    'voplez': Voplez,
+    'vald': Vald,
 }
 
 

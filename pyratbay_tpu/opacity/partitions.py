@@ -79,6 +79,37 @@ def exomol_pf(pf_file):
     return data[:, 1], None, data[:, 0]
 
 
+def kurucz(pf_file, outfile=None):
+    """Reformat a Kurucz partition-function table (H2O or TiO).
+
+    Returns (pf [niso, ntemp], isotopes, temp); optionally writes a
+    standard PF file.  Isotope labels use the short (exomol-style)
+    notation consistent with the rest of the framework.
+    """
+    from ..io import io as pio
+    if 'h2o' in pf_file.lower():
+        molecule = 'H2O'
+        isotopes = ['116', '117', '118', '126']
+        skiprows = 6
+    elif 'tio' in pf_file.lower():
+        molecule = 'TiO'
+        isotopes = ['66', '76', '86', '96', '06']
+        skiprows = 1
+    else:
+        raise ValueError('Invalid Kurucz partition-function file')
+    data = np.loadtxt(pf_file, skiprows=skiprows, unpack=True)
+    temp = data[0]
+    pf_data = data[1:]
+    if outfile == 'default':
+        outfile = f'PF_kurucz_{molecule}.dat'
+    if outfile is not None:
+        pio.write_pf(
+            outfile, pf_data, isotopes, temp,
+            header=f'# Kurucz {molecule} partition function\n\n',
+        )
+    return pf_data, isotopes, temp
+
+
 def poly_pf(coeffs, temp=None):
     """Polynomial log-PF (Irwin 1981, ApJS 45, 621, eq. 2)."""
     if temp is None:
