@@ -380,12 +380,15 @@ class Model:
     # ------------------------------------------------------------------
     # Opacity tabulation (runmode = opacity)
 
-    def compute_opacity(self):
+    def compute_opacity(self, engine='parity'):
         """Tabulate LBL cross sections over a (T, layer, wave) grid and
         write them to the sampled_cross_sec npz file.
 
-        Reference behavior: pyratbay/pyrat/extinction.py:14-126
-        (density at each cell uses the grid temperature).
+        engine='parity' reproduces the reference's profile-grid
+        sampling exactly (pyratbay/pyrat/extinction.py:14-126, with
+        grid-temperature densities); engine='direct' uses the
+        exact-Voigt TPU kernel (faster and free of the profile grid's
+        few-percent quantization).
         """
         cfg = self.cfg
         if cfg.sampled_cs is None:
@@ -424,13 +427,22 @@ class Model:
             cfg.tmin, cfg.tmin + (ntemp - 1) * cfg.tstep, ntemp,
         )
         vmr = self.base_vmr
-        table = np.zeros((ntemp, self.nlayers, self.nwave))
-        for itemp, temp_val in enumerate(temps):
-            temp_profile = np.full(self.nlayers, temp_val)
-            dens = np.asarray(vmr) * (
-                self.press[:, None] * pc.bar / (pc.k * temp_val)
+        if engine == 'direct':
+            # TPU fast path: exact-Voigt direct evaluation, vmapped
+            # over (T, layer) cells (opacity/lbl_tpu.py):
+            from .opacity.lbl_tpu import DirectLBL
+            direct = DirectLBL(lbl)
+            table = np.asarray(
+                direct.tabulate(temps, self.press, vmr), float,
             )
-            table[itemp] = lbl.cross_section(temp_profile, dens)
+        else:
+            table = np.zeros((ntemp, self.nlayers, self.nwave))
+            for itemp, temp_val in enumerate(temps):
+                temp_profile = np.full(self.nlayers, temp_val)
+                dens = np.asarray(vmr) * (
+                    self.press[:, None] * pc.bar / (pc.k * temp_val)
+                )
+                table[itemp] = lbl.cross_section(temp_profile, dens)
         pio.write_opacity(
             cfg.sampled_cs[0], str(lbl.species[0]), temps, self.press,
             self.wn, table,
@@ -676,6 +688,9 @@ class Model:
             tpars=None, vmr_pars=None, pars_list=None, fpatchy=None):
         """Evaluate the forward model; returns a result dict and stores
         .spectrum/.depth/.ideep."""
+        from .tools import Timer
+        timer = Timer()
+        self.timestamps = {}
         temp = self.eval_temp(tpars) if temp is None else jnp.asarray(temp)
 
         # Out-of-bounds temperature rejection (reference run():189-200):
@@ -696,9 +711,11 @@ class Model:
         radius = self.eval_radius(temp, mm, radius)
         rtop = self._rtop(radius) if radius is not None else 0
 
+        self.timestamps['atmosphere'] = timer.clock()
         ec, ec_cloud, deck_surface = self.extinction(
             temp, radius, dens, pars_list, skip,
         )
+        self.timestamps['extinction'] = timer.clock()
         if fpatchy is None:
             fpatchy = self.fpatchy
 
@@ -710,6 +727,7 @@ class Model:
             result = self._run_emission(
                 ec, ec_cloud, deck_surface, temp, radius, rtop, fpatchy,
             )
+        self.timestamps['spectrum'] = timer.clock()
 
         # Eclipse: Fp/Fs scaled by (Rp/Rs)^2:
         if self.rt_path in pc.ECLIPSE_RT:
@@ -734,6 +752,106 @@ class Model:
         self.radius = None if radius is None else np.asarray(radius)
         self.vmr = np.asarray(vmr)
         return result
+
+
+    # ------------------------------------------------------------------
+    # Diagnostics
+
+    def get_ec(self, layer, temp=None, vmr=None):
+        """Per-model extinction contributions at one layer.
+
+        Returns (ec [nmodels_expanded, nwave], labels), the reference's
+        opacity.get_ec diagnostic (pyrat/opacity.py:260-307).
+        """
+        temp = self.eval_temp() if temp is None else jnp.asarray(temp)
+        vmr = self.eval_vmr() if vmr is None else jnp.asarray(vmr)
+        dens = hydro.ideal_gas_density(vmr, self.press, temp)
+        mm = hydro.mean_weight(vmr, self.mol_mass)
+        radius = self.eval_radius(temp, mm)
+        pars_list = self.model_pars()
+
+        rows = []
+        labels = []
+        for (mtype, model, imol), pars in zip(
+                self.opacity_models, pars_list):
+            if model.name == 'deck':
+                rows.append(jnp.zeros((1, self.nwave)))
+                labels.append('deck')
+                continue
+            if mtype == 'line_sample':
+                contrib = model.extinction(
+                    temp, dens[:, jnp.asarray(imol)], per_mol=True,
+                )[:, layer]
+                rows.append(contrib)
+                labels += list(model.species)
+                continue
+            if mtype == 'lbl':
+                contrib = model.cross_section(
+                    np.asarray(temp), np.asarray(dens), layer=layer,
+                    per_mol=True,
+                )[:, layer]
+                dens_np = np.asarray(dens)
+                mol_idx = [
+                    self.species.index(mol) for mol in model.species
+                ]
+                contrib = contrib * dens_np[layer, mol_idx][:, None]
+                rows.append(jnp.asarray(contrib))
+                labels += list(model.species)
+                continue
+            if mtype == 'alkali':
+                contrib = model.extinction(temp, dens[:, imol])
+                labels.append(model.species)
+            elif mtype == 'cia':
+                contrib = model.extinction(
+                    temp, dens[:, jnp.asarray(imol)])
+                labels.append(model.name)
+            elif mtype == 'rayleigh':
+                contrib = model.extinction(dens[:, imol])
+                labels.append(model.name)
+            elif mtype == 'cloud':
+                contrib = model.extinction(temp, pars)
+                labels.append(model.name)
+            elif mtype == 'h_ion':
+                contrib = model.extinction(
+                    temp, dens[:, imol[0]], dens[:, imol[1]])
+                labels.append(model.name)
+            rows.append(contrib[layer][None, :])
+        return jnp.concatenate(rows, axis=0), labels
+
+    def __str__(self):
+        from .tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('TPU-native radiative-transfer model:')
+        fw.write('Run mode (runmode): {}', self.cfg.runmode)
+        fw.write('RT path (rt_path): {}', self.rt_path)
+        fw.write(
+            'Wavenumber range: {:.2f} -- {:.2f} cm-1 ({:d} samples)',
+            float(self.wn[0]), float(self.wn[-1]), self.nwave,
+        )
+        fw.write(
+            'Pressure range: {:.2e} -- {:.2e} bar ({:d} layers)',
+            float(self.press[0]), float(self.press[-1]), self.nlayers,
+        )
+        fw.write('Species: {}', self.species)
+        fw.write('Opacity models:')
+        for mtype, model, _ in self.opacity_models:
+            tmin = self.tmin.get(mtype)
+            bounds = ''
+            if tmin is not None:
+                bounds = (
+                    f'  T = [{self.tmin[mtype]:.1f}, '
+                    f'{self.tmax[mtype]:.1f}] K'
+                )
+            fw.write('  {:22s} ({}){}', model.name, mtype, bounds)
+        if self.temp_model is not None:
+            fw.write('Temperature model: {}', self.cfg.tmodelname)
+        if self.rmodelname is not None:
+            fw.write('Radius model: {}', self.rmodelname)
+        if getattr(self, 'timestamps', None):
+            fw.write('Last-run timestamps (s):')
+            for key, val in self.timestamps.items():
+                fw.write('  {:12s} {:.4f}', key, val)
+        return fw.text
 
 
 def _is_number(val):
