@@ -135,6 +135,7 @@ def parse(cfile, root=None):
     cfg = Config()
     cfg._raw = raw
     cfg.config_file = cfile
+    cfg._root = root
 
     def expand(path):
         return os.path.expanduser(path.replace('{ROOT}', root))
@@ -157,11 +158,21 @@ def parse(cfile, root=None):
         if val is None:
             cfg.__dict__[key] = None
             continue
-        fields = val.split()
-        if key in _STRING_ARRAYS:
+        if key == 'filters':
+            # Keep inline 'tophat wl0 half_width' definitions as single
+            # entries; file paths may still be listed many per line:
+            fields = []
+            for line in val.strip().splitlines():
+                tokens = line.split()
+                if tokens and tokens[0] == 'tophat':
+                    fields.append(line.strip())
+                else:
+                    fields.extend(tokens)
             cfg.__dict__[key] = fields
+        elif key in _STRING_ARRAYS:
+            cfg.__dict__[key] = val.split()
         else:
-            cfg.__dict__[key] = np.array(fields, float)
+            cfg.__dict__[key] = np.array(val.split(), float)
 
     # Path expansion:
     for key in _PATH_KEYS:

@@ -320,6 +320,55 @@ def write_pf(pffile, pf, isotopes, temp, header=None):
 
 
 # --------------------------------------------------------------------------
+# Model persistence
+
+_MODEL_RESULT_ATTRS = (
+    'spectrum', 'posterior', 'bestp', 'best_log_post',
+    'acceptance_rate', 'logz', 'logz_err', 'spec_best',
+    'bandflux_best', 'grfactor', 'radeq_temps',
+)
+
+
+def save_model(model, pickle_file):
+    """Pickle a Model (reference io.py:41-63 save_pyrat analog).
+
+    Persists the parsed configuration plus result arrays; the large
+    regenerable state (opacity tables, jitted callables) is rebuilt on
+    load, like the reference's tmp_reset of ex.etable/voigt.profile.
+    """
+    import pickle
+    results = {
+        key: np.asarray(getattr(model, key))
+        for key in _MODEL_RESULT_ATTRS
+        if getattr(model, key, None) is not None
+    }
+    state = {
+        'cfg': model.cfg,
+        'root': getattr(model.cfg, '_root', None),
+        'results': results,
+    }
+    with open(pickle_file, 'wb') as f:
+        pickle.dump(state, f, pickle.HIGHEST_PROTOCOL)
+
+
+def load_model(pickle_file):
+    """Rebuild a Model from a save_model file (io.py:66-96 analog).
+
+    The model is reconstructed from the pickled (already parsed)
+    configuration -- the original config file need not exist -- and
+    result arrays (spectrum, posterior, ...) are restored onto it.
+    """
+    import pickle
+    from ..model import Model
+    with open(pickle_file, 'rb') as f:
+        state = pickle.load(f)
+    model = Model(state['cfg'], root=state.get('root'))
+    for key, value in state.get('results', {}).items():
+        setattr(model, key, value)
+    return model
+
+
+# --------------------------------------------------------------------------
 # Species physical data
 
 def read_molecs(file=None):

@@ -284,6 +284,18 @@ class Model:
 
         if cfg.tlifile is not None:
             from .opacity.lbl import LineByLine
+            if self.grid.own is None:
+                # A table-inherited spectral sampling has no fine
+                # (oversampled) grid, which line-by-line requires (the
+                # reference hits the same conflict: its table branch
+                # returns before building spec.own, spectrum.py:124-166):
+                raise ValueError(
+                    'Line-by-line opacity (tlifile) requires an explicit '
+                    'spectral sampling (resolution, wnstep, or wlstep); '
+                    'it cannot inherit the sampling from a cross-section '
+                    'table (sampled_cross_sec). Remove tlifile or set a '
+                    'sampling rate.'
+                )
             lbl = LineByLine(
                 cfg.tlifile, wn=wn, species=species,
                 mol_mass=self.mol_mass, mol_radius=self.mol_radius,

@@ -83,29 +83,86 @@ class Observation:
                     f'match the number of filter bands ({self.nbands})'
                 )
 
-        # Which bands each offset instrument touches (by name matching
-        # the filter-file names, reference tools/data.py):
+        # Which bands each offset / error-scaling instrument touches
+        # (by name-matching the filters; reference tools/data.py):
         self._offset_masks = []
         for inst in self.offset_inst:
-            name = inst.replace('offset_', '')
+            name = inst.replace('offset_', '').replace('_', ' ')
             mask = np.array([
-                name in band.name for band in self.filters
+                name in band.name.replace('_', ' ')
+                for band in self.filters
             ])
+            if not mask.any():
+                raise ValueError(
+                    f"Invalid instrumental offset parameter '{inst}'. "
+                    f"There is no instrument matching the name '{name}'"
+                )
             self._offset_masks.append(mask)
+
+        self._err_masks = []
+        self._err_modes = []
+        for var in self.uncert_scaling:
+            if var.startswith('err_scale_'):
+                mode = 'scale'
+                name = var[len('err_scale_'):]
+            elif var.startswith('err_quad_'):
+                mode = 'quadrature'
+                name = var[len('err_quad_'):]
+            else:
+                raise ValueError(
+                    f"Invalid error scaling parameter '{var}'. Valid "
+                    "options begin with: ['err_scale_', 'err_quad_']"
+                )
+            name = name.replace('_', ' ')
+            mask = np.array([
+                name in band.name.replace('_', ' ')
+                for band in self.filters
+            ])
+            if not mask.any():
+                raise ValueError(
+                    f"Invalid retrieval parameter '{var}'. There is "
+                    f"no instrument matching the name '{name}'"
+                )
+            self._err_masks.append(mask)
+            self._err_modes.append(mode)
+
+        self.units_scale = pc.u(cfg.dunits) if cfg.dunits else 1.0
 
     def band_integrate(self, spectrum):
         """Band-integrated model values [nbands] (jit-safe matvec)."""
         return self._band_matrix @ spectrum
 
-    def apply_offsets(self, bandflux, offset_pars, dunits_scale=1.0):
-        """Subtract per-instrument offsets from the model band fluxes."""
-        if not self.offset_inst:
-            return bandflux
+    def offset_data(self, offset_pars):
+        """Data with per-instrument offsets added (jit-safe).
+
+        Reference semantics: data[indices] += value * units
+        (tools/data.py::offset_data).
+        """
+        data = jnp.asarray(self.data)
         for mask, par in zip(self._offset_masks, offset_pars):
-            bandflux = bandflux - jnp.where(
-                jnp.asarray(mask), par * dunits_scale, 0.0,
+            data = data + jnp.where(
+                jnp.asarray(mask), par * self.units_scale, 0.0,
             )
-        return bandflux
+        return data
+
+    def scale_uncert(self, err_pars):
+        """Uncertainties inflated by the error-scaling models (jit-safe).
+
+        'err_scale_X': sigma *= 10**par; 'err_quad_X':
+        sigma = sqrt(sigma^2 + (10**par * units)^2).
+        """
+        uncert = jnp.asarray(self.uncert)
+        for mask, mode, par in zip(
+                self._err_masks, self._err_modes, err_pars):
+            mask = jnp.asarray(mask)
+            if mode == 'scale':
+                uncert = jnp.where(mask, uncert * 10.0**par, uncert)
+            else:
+                inflated = jnp.sqrt(
+                    uncert**2 + (10.0**par * self.units_scale)**2
+                )
+                uncert = jnp.where(mask, inflated, uncert)
+        return uncert
 
 
 def _expand(path, root):

@@ -14,6 +14,38 @@ from .samplers import sample_demc, gelman_rubin
 __all__ = ['run_retrieval']
 
 
+def _run_nested(model, obs, ret, log_post, seed):
+    """MultiNest-equivalent run: nested sampling with a uniform
+    unit-cube prior over [pmin, pmax] (fixed params stay fixed)."""
+    import jax.numpy as jnp
+    from .nested import sample_nested
+
+    free = np.asarray(ret.ifree)
+    base = jnp.asarray(ret.params)
+    lo = jnp.asarray(ret.pmin[free])
+    span = jnp.asarray(ret.pmax[free] - ret.pmin[free])
+
+    def prior_transform(u):
+        return base.at[jnp.asarray(free)].set(lo + span * u)
+
+    results = sample_nested(
+        lambda params: log_post(params),
+        prior_transform,
+        ndim=len(free),
+        nlive=model.cfg.nlive or 400,
+        key=jax.random.PRNGKey(seed),
+    )
+    # Match the DEMC result contract:
+    posterior = results['posterior']
+    log_posts = results['log_like']
+    ibest = int(np.argmax(log_posts))
+    results['bestp'] = results['samples'][ibest]
+    results['best_log_post'] = float(log_posts[ibest])
+    results['acceptance_rate'] = results['efficiency']
+    results['chain_history'] = posterior[None, :, :]
+    return results
+
+
 def run_retrieval(model, seed=0):
     """Run the MCMC retrieval configured in model.cfg.
 
@@ -36,20 +68,26 @@ def run_retrieval(model, seed=0):
     nsamples = ret.nsamples or 1000
     burnin_gens = int(np.ceil((ret.burnin or 0) / 1))
 
-    results = sample_demc(
-        log_post,
-        ret.params,
-        nsamples=nsamples,
-        key=jax.random.PRNGKey(seed),
-        nchains=nchains,
-        pstep=ret.pstep,
-        pmin=ret.pmin,
-        pmax=ret.pmax,
-        burnin=burnin_gens,
-    )
+    if ret.sampler == 'multinest':
+        results = _run_nested(model, obs, ret, log_post, seed)
+    else:
+        results = sample_demc(
+            log_post,
+            ret.params,
+            nsamples=nsamples,
+            key=jax.random.PRNGKey(seed),
+            nchains=nchains,
+            pstep=ret.pstep,
+            pmin=ret.pmin,
+            pmax=ret.pmax,
+            burnin=burnin_gens,
+        )
 
     model.ret = ret
     model.obs = obs
+    if 'logz' in results:
+        model.logz = results['logz']
+        model.logz_err = results['logz_err']
     model.posterior = np.asarray(results['posterior'])
     model.bestp = np.asarray(results['bestp'])
     model.best_log_post = float(results['best_log_post'])
@@ -69,8 +107,13 @@ def run_retrieval(model, seed=0):
     outfile = None
     if cfg.logfile is not None:
         outfile = os.path.splitext(cfg.logfile)[0] + '.npz'
+        extra = {}
+        if 'logz' in results:
+            extra['logz'] = results['logz']
+            extra['logz_err'] = results['logz_err']
         np.savez(
             outfile,
+            **extra,
             posterior=model.posterior,
             bestp=model.bestp,
             pnames=np.asarray(ret.pnames),

@@ -226,9 +226,6 @@ def build_forward(model, obs=None, ret=None, dtype=None):
         }
         if obs is not None and obs.nbands:
             bandflux = obs.band_integrate(spectrum)
-            if ret is not None and ret.ioffset:
-                offset_pars = params[jnp.asarray(ret.ioffset)]
-                bandflux = obs.apply_offsets(bandflux, offset_pars)
             bandflux = jnp.where(good, bandflux, jnp.inf)
             out['bandflux'] = bandflux
         return out
@@ -254,10 +251,25 @@ def build_log_posterior(model, obs, ret):
     has_prior = jnp.asarray(ret.priorlow > 0)
 
     def log_post(params):
+        params = jnp.asarray(params)
         result = forward(params)
         bandflux = result['bandflux']
-        resid = (bandflux - data) / uncert
-        log_like = -0.5 * jnp.sum(resid**2)
+        # Instrumental offsets shift the data; error-scaling inflates
+        # the uncertainties (with the chi2 normalization term):
+        data_adj = data
+        uncert_adj = uncert
+        if ret.ioffset:
+            data_adj = obs.offset_data(
+                params[jnp.asarray(ret.ioffset)],
+            )
+        log_norm = 0.0
+        if ret.ierror:
+            uncert_adj = obs.scale_uncert(
+                params[jnp.asarray(ret.ierror)],
+            )
+            log_norm = -jnp.sum(jnp.log(uncert_adj / uncert))
+        resid = (bandflux - data_adj) / uncert_adj
+        log_like = -0.5 * jnp.sum(resid**2) + log_norm
         in_bounds = jnp.all((params >= pmin) & (params <= pmax))
         # Two-sided Gaussian priors where defined:
         sigma = jnp.where(params > prior, priorup, priorlow)
