@@ -32,3 +32,7 @@ from .hydro import (
 from .geometry import (
     transit_path_matrix,
 )
+from .chem import (
+    Network,
+    chemistry,
+)

@@ -57,6 +57,7 @@ _INT_KEYS = [
     'quadrature', 'nsamples', 'nchains', 'burnin', 'thinning', 'nlive',
 ]
 _FLOAT_KEYS = [
+    'xsolar',
     'wnlow', 'wnhigh', 'wnstep', 'resolution', 'tmin', 'tmax', 'tstep',
     'ethresh', 'voigt_extent', 'voigt_cutoff', 'dmin', 'dmax', 'lmin',
     'lmax', 'dlratio', 'fpatchy', 'alkali_cutoff', 'maxdepth',
@@ -68,6 +69,7 @@ _BOOL_KEYS = ['resume', 'post_processing']
 _ARRAY_KEYS = [
     'dblist', 'pflist', 'dbtype', 'tlifile', 'sampled_cross_sec',
     'continuum_cross_sec', 'tpars', 'species', 'uniform_vmr', 'bulk',
+    'escale',
     'rayleigh', 'alkali', 'h_ion', 'raygrid', 'data', 'uncert',
     'filters', 'params', 'pstep', 'pmin', 'pmax', 'prior', 'priorlow',
     'priorup', 'logxticks', 'yran',
@@ -84,7 +86,7 @@ _PATH_ARRAY_KEYS = [
 _STRING_ARRAYS = {
     'dblist', 'pflist', 'dbtype', 'tlifile', 'sampled_cross_sec',
     'continuum_cross_sec', 'species', 'bulk', 'rayleigh', 'alkali',
-    'h_ion', 'filters',
+    'h_ion', 'filters', 'escale',
 }
 
 
@@ -230,8 +232,23 @@ def parse(cfile, root=None):
         else:
             cfg.__dict__[key] = None
 
+    # Deprecated chemistry shims (reference tools/parser.py:833-861):
+    if cfg.chemistry in ('uniform', 'tea'):
+        cfg.chemistry = {'uniform': 'free', 'tea': 'equilibrium'}[
+            cfg.chemistry]
     if cfg.chemistry is not None and cfg.chemistry not in pc.CHEM_MODELS:
         raise ValueError(f"Invalid chemistry model '{cfg.chemistry}'")
+    if cfg.get('xsolar') is not None:
+        cfg.vmr_vars = (
+            (cfg.vmr_vars or '') + f'\n[M/H] {np.log10(cfg.xsolar)}'
+        )
+    if cfg.get('escale') is not None:
+        escale = cfg.escale
+        for atom, factor in zip(escale[::2], escale[1::2]):
+            cfg.vmr_vars = (
+                (cfg.vmr_vars or '')
+                + f'\n[{atom}/H] {np.log10(float(factor))}'
+            )
 
     # System parameters (CGS):
     mass_units = cfg.mpunits or _get_units(raw.get('mplanet'))

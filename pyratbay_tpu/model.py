@@ -18,7 +18,7 @@ from .io import io as pio
 from .ops.grids import wavenumber_grid, WavenumberGrid
 from .ops.planck import blackbody_wn
 from .atmosphere import (
-    geometry, hydro, profiles, vmr as vmr_models,
+    chem, geometry, hydro, profiles, vmr as vmr_models,
 )
 from .opacity import (
     CIA, Deck, CCSgray, HydrogenIon, Lecavelier, LineSample, Rayleigh,
@@ -63,6 +63,15 @@ class Model:
             wnlow = 1.0 / cfg.wl_high
         if wnhigh is None and cfg.wl_low is not None:
             wnhigh = 1.0 / cfg.wl_low
+
+        # Atmosphere-only runs need no spectral grid (reference
+        # driver.py:48-51 builds the Atmosphere without a Pyrat):
+        if cfg.runmode == 'atmosphere' and wnlow is None \
+                and wnhigh is None and cfg.sampled_cs is None:
+            self.grid = None
+            self.wn = None
+            self.nwave = 0
+            return
 
         # Inherit sampling from a cross-section table when present
         # (reference pyrat/spectrum.py:124-166):
@@ -138,6 +147,42 @@ class Model:
                     'Not all temperature parameters were defined (tpars)'
                 )
 
+        # Equilibrium chemistry (reference pyrat/atmosphere.py:289-296
+        # via chemcat; here the native Gibbs-minimization network,
+        # atmosphere/chem.py):
+        self.chemistry = cfg.chemistry
+        self.chem_model = None
+        self._equil_fn = None
+        if cfg.chemistry == 'equilibrium' and self.base_vmr is None:
+            if self.species is None:
+                raise ValueError(
+                    'chemistry=equilibrium requires atmospheric species'
+                )
+            temp0 = self.base_temp
+            if temp0 is None:
+                if self.temp_model is None or self.tpars is None:
+                    raise ValueError(
+                        'chemistry=equilibrium requires a temperature '
+                        'profile (tmodel/tpars or an input atmosphere)'
+                    )
+                temp0 = np.asarray(self.temp_model(self.tpars))
+            e_source = cfg.solar or 'asplund_2021'
+            if isinstance(e_source, str) and e_source not in \
+                    chem.SOLAR_ABUNDANCES:
+                e_source = chem.read_solar_file(e_source)
+            self.chem_model = chem.Network(
+                self.press, temp0, self.species, e_source=e_source,
+            )
+            self.chem_model.thermochemical_equilibrium()
+            if self.chem_model.dropped_species:
+                self.species = list(self.chem_model.species)
+                self.mol_mass, self.mol_radius = pio.species_properties(
+                    self.species, cfg.molfile,
+                )
+            self.base_vmr = np.asarray(self.chem_model.vmr)
+            self.base_temp = np.asarray(temp0)
+            self._equil_fn = chem.jit_equilibrium_fn(self.chem_model)
+
         # Planet parameters; mplanet/gplanet/rplanet kept consistent
         # (reference MassGravity descriptor, pyrat/atmosphere.py:20-48):
         self.rplanet = cfg.rplanet
@@ -198,26 +243,82 @@ class Model:
                     'Not all vmr parameter values were defined (vmr_vars)'
                 )
 
-        # Build the free-VMR evaluators:
+        # Build the VMR evaluators.  Free models (log_/scale_/slant_)
+        # act on one species; equilibrium models ([M/H], [X/H], X/Y)
+        # re-scale the element abundances of the chemistry network
+        # (reference pyrat/atmosphere.py:600-630):
         self.ifree = []
         self._vmr_kinds = []
+        self._equil_info = []
+        is_equil_chem = self.chem_model is not None
+        elements = (
+            list(self.chem_model.elements) if is_equil_chem else []
+        )
         species = self.species or []
         for var in self.vmr_var_names:
+            info = None
             if var.startswith('log_'):
                 mol, kind = var[4:], 'iso'
             elif var.startswith('scale_'):
                 mol, kind = var[6:], 'scale'
             elif var.startswith('slant_'):
                 mol, kind = var[6:], 'slant'
+            elif var == '[M/H]':
+                mol, kind = None, 'metal_equil'
+            elif var.startswith('[') and var.endswith('/H]'):
+                mol, kind = None, 'scale_equil'
+                element = var[1:-3]
+                if not is_equil_chem or element not in elements:
+                    raise ValueError(
+                        f"Invalid vmr_vars variable '{var}', element "
+                        f"'{element}' is not in the atmosphere"
+                    )
+                info = elements.index(element)
+            elif '/' in var:
+                mol, kind = None, 'ratio_equil'
+                num, den = var.split('/')
+                if not is_equil_chem or num not in elements \
+                        or den not in elements:
+                    raise ValueError(
+                        f"Invalid vmr_vars variable '{var}', elements "
+                        'are not in the atmosphere'
+                    )
+                info = (elements.index(num), elements.index(den))
             else:
                 raise ValueError(f"Unrecognized VMR model (vmr_vars): '{var}'")
-            if mol not in species:
+            if kind in ('metal_equil', 'scale_equil', 'ratio_equil') \
+                    and not is_equil_chem:
                 raise ValueError(
-                    f"Invalid vmr_vars variable '{var}', species {mol} "
-                    'is not in the atmosphere'
+                    f"vmr_vars variable '{var}' requires "
+                    'chemistry=equilibrium'
                 )
-            self.ifree.append(species.index(mol))
+            if mol is not None:
+                if mol not in species:
+                    raise ValueError(
+                        f"Invalid vmr_vars variable '{var}', species {mol} "
+                        'is not in the atmosphere'
+                    )
+                imol = species.index(mol)
+                if is_equil_chem:
+                    # Hybrid: free VMR on top of equilibrium, capped by
+                    # element availability (vmr_models.hybrid_vmr):
+                    if kind != 'iso':
+                        raise ValueError(
+                            f"vmr_vars variable '{var}': only log_X free "
+                            'models combine with chemistry=equilibrium'
+                        )
+                    kind = 'hybrid'
+                    stoich = self.chem_model.stoich_vals
+                    icols = np.where(stoich[imol] != 0)[0]
+                    info = (
+                        imol,
+                        stoich[:, icols].astype(float),
+                        stoich[imol, icols].astype(float),
+                    )
+                else:
+                    self.ifree.append(imol)
             self._vmr_kinds.append(kind)
+            self._equil_info.append(info)
 
         self.bulk = cfg.bulk
         self.ibulk = None
@@ -483,16 +584,62 @@ class Model:
             raise ValueError('No temperature profile available')
         return jnp.asarray(self.base_temp)
 
-    def eval_vmr(self, vmr_pars=None):
-        """Apply free-VMR models + bulk balancing to the base VMR."""
-        base = jnp.asarray(self.base_vmr)
+    def eval_vmr(self, vmr_pars=None, temp=None):
+        """Apply VMR models (free, equilibrium, hybrid) to get the
+        composition; jit-safe (shared with retrieval/forward.py)."""
         if vmr_pars is None:
             vmr_pars = self.vmr_pars
-        if vmr_pars is None or not self.ifree:
+        if self.chem_model is not None and temp is None:
+            temp = self.eval_temp()
+        return self._eval_vmr_pure(vmr_pars, temp)
+
+    def _eval_vmr_pure(self, vmr_par_list, temp):
+        """Pure VMR evaluation: equilibrium chemistry re-solve with
+        metallicity/[X/H]/X-Y parameters plus hybrid free overrides
+        (reference pyrat/atmosphere.py:444-475), or free-VMR models
+        with bulk balancing."""
+        base = jnp.asarray(self.base_vmr)
+
+        if self.chem_model is not None:
+            has_pars = vmr_par_list is not None and any(
+                p is not None for p in (vmr_par_list or [])
+            )
+            if not has_pars:
+                return base
+            metallicity = 0.0
+            nelem = len(self.chem_model.elements)
+            escale = jnp.zeros(nelem)
+            ratios = []
+            hybrids = []
+            for kind, info, pars in zip(
+                    self._vmr_kinds, self._equil_info, vmr_par_list):
+                if pars is None:
+                    continue
+                val = jnp.squeeze(jnp.asarray(pars))
+                if kind == 'metal_equil':
+                    metallicity = val
+                elif kind == 'scale_equil':
+                    escale = escale.at[info].set(val)
+                elif kind == 'ratio_equil':
+                    ratios.append((info[0], info[1], val))
+                elif kind == 'hybrid':
+                    hybrids.append((*info, val))
+            vmr = self._equil_fn(
+                jnp.asarray(temp), metallicity, escale, tuple(ratios),
+            )
+            for imol, stoich_cols, mol_stoich, val in hybrids:
+                cap = chem.hybrid_max_vmr(vmr, stoich_cols, mol_stoich)
+                vmr = vmr.at[:, imol].set(
+                    jnp.clip(10.0 ** val, 0.0, cap),
+                )
+            return vmr
+
+        if vmr_par_list is None or not self.ifree:
             return base
         log_press = np.log10(self.press)
         profiles_list = []
-        for kind, imol, pars in zip(self._vmr_kinds, self.ifree, vmr_pars):
+        for kind, imol, pars in zip(
+                self._vmr_kinds, self.ifree, vmr_par_list):
             if kind == 'iso':
                 prof = vmr_models.iso_vmr(jnp.asarray(pars), self.nlayers)
             elif kind == 'scale':
@@ -715,7 +862,7 @@ class Model:
             }
 
         if vmr is None:
-            vmr = self.eval_vmr(vmr_pars)
+            vmr = self.eval_vmr(vmr_pars, temp=temp)
         else:
             vmr = jnp.asarray(vmr)
         dens = hydro.ideal_gas_density(vmr, self.press, temp)

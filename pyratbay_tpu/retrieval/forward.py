@@ -143,24 +143,9 @@ def build_forward(model, obs=None, ret=None, dtype=None):
         else:
             temp = base_temp
 
-        if vmr_par_list is not None and model.ifree:
-            log_press = np.log10(model.press)
-            profiles_list = []
-            for kind, imol, pars in zip(
-                    model._vmr_kinds, model.ifree, vmr_par_list):
-                if kind == 'iso':
-                    prof = vmr_models.iso_vmr(pars, nlayers)
-                elif kind == 'scale':
-                    prof = vmr_models.scale_vmr(base_vmr[:, imol], pars)
-                else:
-                    prof = vmr_models.slant_vmr(log_press, pars)
-                profiles_list.append(prof)
-            vmr = vmr_models.vmr_scale(
-                base_vmr, profiles_list, tuple(model.ifree),
-                np.asarray(model.ibulk), model.bulkratio, model.invsrat,
-            )
-        else:
-            vmr = base_vmr
+        # Free, equilibrium-chemistry, and hybrid VMR models share the
+        # Model's jit-pure evaluator:
+        vmr = model._eval_vmr_pure(vmr_par_list, temp)
 
         dens = hydro.ideal_gas_density(vmr, press, temp)
         mm = hydro.mean_weight(vmr, mol_mass)

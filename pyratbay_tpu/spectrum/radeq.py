@@ -61,8 +61,16 @@ def radiative_equilibrium(
         dt_scale = np.ones(nlayers)
 
     def _step(temp):
-        dens = hydro.ideal_gas_density(jnp.asarray(vmr), press, temp)
-        mm = hydro.mean_weight(jnp.asarray(vmr), mol_mass)
+        # Equilibrium chemistry re-solves composition at the current
+        # T(p) every iteration, inside the same jitted step (reference
+        # host-calls chemcat per iteration,
+        # spectrum/radiative_transfer.py:202):
+        if model.chem_model is not None:
+            vmr_k = model._eval_vmr_pure(model.vmr_pars, temp)
+        else:
+            vmr_k = jnp.asarray(vmr)
+        dens = hydro.ideal_gas_density(vmr_k, press, temp)
+        mm = hydro.mean_weight(vmr_k, mol_mass)
         radius = model.eval_radius(temp, mm)
         ec, ec_cloud, deck_surface = model.extinction(
             temp, radius, dens, model.model_pars(),
