@@ -323,14 +323,21 @@ def supported_species():
 # ---------------------------------------------------------------------
 # Thermodynamic functions (host side, float64 numpy)
 
+# NASA-7/GRI-Mech coefficients are referenced to 1 atm; the network's
+# standard state is 1 bar (_P_STD), so shift the entropy constant a7 by
+# R ln(101325/1e5) to convert: S(1 bar) = S(1 atm) + R ln(1.01325).
+_S_ATM_TO_BAR = np.log(101325.0 / 1.0e5)
+
+
 def _nasa7_h_s(coefs, temp):
-    """(H/RT, S/R) from one NASA-7 coefficient row."""
+    """(H/RT, S/R) from one NASA-7 coefficient row, entropy converted
+    to the 1 bar standard state."""
     a1, a2, a3, a4, a5, a6, a7 = coefs
     t = temp
     h = (a1 + a2 * t / 2 + a3 * t**2 / 3 + a4 * t**3 / 4
          + a5 * t**4 / 5 + a6 / t)
     s = (a1 * np.log(t) + a2 * t + a3 * t**2 / 2 + a4 * t**3 / 3
-         + a5 * t**4 / 4 + a7)
+         + a5 * t**4 / 4 + a7 + _S_ATM_TO_BAR)
     return h, s
 
 
@@ -338,7 +345,11 @@ _apply_dfh_pins()
 
 
 def _nasa7_thermo(name, temp):
-    """(H(T)/RT, S(T)/R) with H referenced to DfH298 (built into a6)."""
+    """(H(T)/RT, S(T)/R) with H referenced to DfH298 (built into a6).
+
+    Clipped below 200 K (the NASA-7 validity floor); _T_GRID starts at
+    200 K so statmech species are clipped at the same bound and cold
+    layers stay mutually consistent."""
     tmid, low, high = _NASA7[name]
     tc = np.clip(temp, 200.0, None)
     h_lo, s_lo = _nasa7_h_s(low, tc)
@@ -429,7 +440,7 @@ def _statmech_thermo(name, temp):
 
 def thermo_properties(name, temp):
     """(H/RT, S/R) of a species at temperature(s) [K]; standard state
-    is the ideal gas at 1 atm, enthalpy referenced to the elements in
+    is the ideal gas at 1 bar, enthalpy referenced to the elements in
     their standard states at 298.15 K."""
     temp = np.atleast_1d(np.asarray(temp, float))
     if name in _NASA7:
@@ -440,7 +451,7 @@ def thermo_properties(name, temp):
 
 
 def gibbs_over_rt(name, temp):
-    """g0 = G/(RT) = H/RT - S/R at the 1 atm standard state."""
+    """g0 = G/(RT) = H/RT - S/R at the 1 bar standard state."""
     h, s = thermo_properties(name, temp)
     return h - s
 
@@ -448,7 +459,9 @@ def gibbs_over_rt(name, temp):
 # ---------------------------------------------------------------------
 # Equilibrium solver (jit / vmap compatible)
 
-_T_GRID = np.arange(80.0, 6001.0, 2.0)
+# Starts at the NASA-7 clip floor (200 K) so all species -- polynomial
+# and statmech alike -- freeze at the same temperature bound:
+_T_GRID = np.arange(200.0, 6001.0, 2.0)
 
 
 def _linsolve(mat, rhs):
@@ -674,11 +687,14 @@ class Network:
             self.temperature = temperature
         if metallicity is not None:
             self.metallicity = float(metallicity)
-        if e_abundances:
-            self.e_abundances.update(e_abundances)
-        if e_scale is not None and e_scale != {}:
+        # None = keep current; any provided dict (including {}) fully
+        # replaces the stored overrides, so a caller can clear stale
+        # scalings each sample (as the reference's calc_profiles does):
+        if e_abundances is not None:
+            self.e_abundances = dict(e_abundances)
+        if e_scale is not None:
             self.e_scale = dict(e_scale)
-        if e_ratio is not None and e_ratio != {}:
+        if e_ratio is not None:
             self.e_ratio = dict(e_ratio)
 
         b = self._element_b(
@@ -687,7 +703,7 @@ class Network:
         )
         self.element_rel_abundance = b[:len(self.elements)]
         g0 = self.gibbs_at(self.temperature)
-        lnp = np.log(self.pressure * 1e5 / _P_STD)    # bar -> atm
+        lnp = np.log(self.pressure)    # ln(P / 1 bar), the standard state
         nlayers = len(self.pressure)
         vmr = self._jit_solve(
             jnp.asarray(g0), jnp.asarray(lnp),

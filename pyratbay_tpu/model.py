@@ -341,9 +341,24 @@ class Model:
     def _setup_star(self):
         cfg = self.cfg
         self.starflux = None
+        # Temperature-gridded SED (enables retrieving tstar with a real
+        # stellar spectrum, reference pyrat/argum.py:95-98):
+        self.sed_temps = None
+        self.sed_fluxes = None
+        self.star_is_blackbody = False
         if cfg.starspec is not None:
-            starwn, starflux = pio.read_spectrum(cfg.starspec)
-            self.starflux = np.interp(self.wn, starwn, starflux)
+            spectra, starwn, sed_temps = pio.read_spectra(cfg.starspec)
+            fluxes = np.stack([
+                np.interp(self.wn, starwn, flux) for flux in spectra
+            ])
+            if sed_temps is not None:
+                self.sed_temps = np.asarray(sed_temps)
+                self.sed_fluxes = fluxes
+                tstar = self.tstar if self.tstar is not None \
+                    else sed_temps[0]
+                self.starflux = _interp_sed(fluxes, sed_temps, tstar)
+            else:
+                self.starflux = fluxes[0]
         elif cfg.kurucz is not None:
             if self.tstar is None or cfg.log_gstar is None:
                 raise ValueError(
@@ -355,6 +370,7 @@ class Model:
             self.starflux = np.interp(self.wn, starwn, flux)
         elif self.tstar is not None:
             self.starflux = np.asarray(bbflux(self.wn, self.tstar))
+            self.star_is_blackbody = True
 
     def _setup_opacity(self):
         """Assemble the opacity model list (order matches reference
@@ -605,7 +621,19 @@ class Model:
                 p is not None for p in (vmr_par_list or [])
             )
             if not has_pars:
-                return base
+                # Composition depends on temperature: re-solve at the
+                # current profile (the reference re-runs chemcat every
+                # sample and radeq iteration, pyrat/atmosphere.py:445-465)
+                # unless temp is statically the setup profile, for which
+                # base_vmr is already the solution:
+                if temp is None:
+                    return base
+                is_static = not isinstance(temp, jax.core.Tracer)
+                if is_static and self.base_temp is not None \
+                        and np.array_equal(
+                            np.asarray(temp), np.asarray(self.base_temp)):
+                    return base
+                return self._equil_fn(jnp.asarray(temp))
             metallicity = 0.0
             nelem = len(self.chem_model.elements)
             escale = jnp.zeros(nelem)
@@ -1019,3 +1047,17 @@ def _is_number(val):
         return True
     except ValueError:
         return False
+
+
+def _interp_sed(fluxes, temps, tstar):
+    """Linear-in-T interpolation of a temperature-gridded stellar SED;
+    jnp-compatible (used inside the jitted retrieval forward)."""
+    temps = jnp.asarray(temps)
+    fluxes = jnp.asarray(fluxes)
+    i = jnp.clip(
+        jnp.searchsorted(temps, tstar, side='right') - 1,
+        0, len(temps) - 2,
+    )
+    w = (tstar - temps[i]) / (temps[i + 1] - temps[i])
+    w = jnp.clip(w, 0.0, 1.0)
+    return fluxes[i] * (1.0 - w) + fluxes[i + 1] * w

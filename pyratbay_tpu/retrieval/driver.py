@@ -66,7 +66,10 @@ def run_retrieval(model, seed=0):
 
     nchains = ret.nchains or 21
     nsamples = ret.nsamples or 1000
-    burnin_gens = int(np.ceil((ret.burnin or 0) / 1))
+    # burnin counts per-chain samples (reference parser.py:1085-1086,
+    # "Number of burn-in samples per chain"); one DEMC generation
+    # advances every chain by one sample, so generations == burnin:
+    burnin_gens = int(ret.burnin or 0)
 
     if ret.sampler == 'multinest':
         results = _run_nested(model, obs, ret, log_post, seed)

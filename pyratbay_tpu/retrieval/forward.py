@@ -87,6 +87,20 @@ def build_forward(model, obs=None, ret=None, dtype=None):
     )
     wn = np.asarray(model.wn)
 
+    # Retrieving tstar requires a T-dependent stellar flux: either a
+    # temperature-gridded SED (interpolated, reference
+    # pyrat/pyrat_obj.py:288-290) or a blackbody star:
+    retrieve_tstar = ret is not None and ret.itstar is not None
+    sed_temps = getattr(model, 'sed_temps', None)
+    sed_fluxes = getattr(model, 'sed_fluxes', None)
+    if retrieve_tstar and is_eclipse and sed_temps is None \
+            and not getattr(model, 'star_is_blackbody', True):
+        raise ValueError(
+            'Cannot retrieve tstar from a fixed input stellar spectrum; '
+            'provide a temperature-gridded SED file (starspec with '
+            '@TEMPERATURES) or a blackbody star (tstar alone)'
+        )
+
     def forward(params=None):
         # ---- Map parameters onto model slots:
         tpars = base_tpars
@@ -185,11 +199,13 @@ def build_forward(model, obs=None, ret=None, dtype=None):
         if not is_transit and f_dilution is not None:
             spectrum = spectrum * f_dilution
         if is_eclipse:
-            sflux = (
-                blackbody_wn(wn, tstar) * np.pi
-                if (ret is not None and ret.itstar is not None)
-                else starflux
-            )
+            if retrieve_tstar and sed_temps is not None:
+                from ..model import _interp_sed
+                sflux = _interp_sed(sed_fluxes, sed_temps, tstar)
+            elif retrieve_tstar:
+                sflux = blackbody_wn(wn, tstar) * np.pi
+            else:
+                sflux = starflux
             spectrum = spectrum / sflux * (rplanet / model.rstar)**2
 
         # ---- Rejection logic:
