@@ -277,22 +277,31 @@ class LineByLine:
         akprop = kprop[active_idx]
 
         # Group starts: new group when isotope changes or line falls
-        # outside ownstep of the current group's anchor own[iown]:
-        group_id = np.zeros(n_act, int)
-        gid = 0
-        anchor_wn = self.own[aiown[0]]
-        anchor_iso = aiso[0]
-        for j in range(1, n_act):
-            same = (
-                aiso[j] == anchor_iso
-                and abs(awavn[j] - anchor_wn) < self.ownstep
-            )
-            if not same:
-                gid += 1
-                anchor_wn = self.own[aiown[j]]
-                anchor_iso = aiso[j]
-            group_id[j] = gid
-        ngroups = gid + 1
+        # outside ownstep of the current group's anchor own[iown].
+        # The greedy chain is inherently sequential -- run it in the
+        # native runtime (C++); fall back to the Python loop:
+        from ..runtime import lbl_group as native_group
+        grouped = native_group(
+            awavn, aiso, self.own[aiown], self.ownstep,
+        )
+        if grouped is not None:
+            group_id, ngroups = grouped
+        else:
+            group_id = np.zeros(n_act, int)
+            gid = 0
+            anchor_wn = self.own[aiown[0]]
+            anchor_iso = aiso[0]
+            for j in range(1, n_act):
+                same = (
+                    aiso[j] == anchor_iso
+                    and abs(awavn[j] - anchor_wn) < self.ownstep
+                )
+                if not same:
+                    gid += 1
+                    anchor_wn = self.own[aiown[j]]
+                    anchor_iso = aiso[j]
+                group_id[j] = gid
+            ngroups = gid + 1
         first_of_group = np.zeros(ngroups, int)
         first_of_group[group_id[::-1]] = np.arange(n_act)[::-1]
         k_group = np.zeros(ngroups)
@@ -327,13 +336,20 @@ class LineByLine:
             maxj = np.minimum(maxj, maxcut)
 
         profile = vg.profile
-        for g in np.nonzero(strong)[0]:
-            j0, j1 = minj[g], maxj[g]
-            if j1 <= j0:
-                continue
-            start = pindex[g] + ofactor * j0 - offset[g]
-            window = profile[start:start + (j1 - j0) * ofactor:ofactor]
-            ktmp[g_spec[g], j0:j1] += k_group[g] * window
+        from ..runtime import lbl_scatter as native_scatter
+        done = native_scatter(
+            strong, g_spec, minj, maxj, pindex, offset, ofactor,
+            k_group, profile, ktmp,
+        )
+        if done is None:
+            for g in np.nonzero(strong)[0]:
+                j0, j1 = minj[g], maxj[g]
+                if j1 <= j0:
+                    continue
+                start = pindex[g] + ofactor * j0 - offset[g]
+                window = profile[
+                    start:start + (j1 - j0) * ofactor:ofactor]
+                ktmp[g_spec[g], j0:j1] += k_group[g] * window
         return ktmp, ofactor, dnwn
 
     def _to_output_grid(self, ktmp, ofactor, dnwn):

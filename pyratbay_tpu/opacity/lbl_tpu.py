@@ -1,31 +1,45 @@
 """TPU-native line-by-line engine: direct Voigt evaluation.
 
 The parity engine (lbl.py) replicates the reference's profile-grid +
-scatter-add design for golden-file interop.  This module is the
-performance path, designed for the hardware instead:
+scatter-add design (src_c/_extcoeff.c:87-345) for golden-file interop.
+This module is the performance path, designed for the hardware instead:
 
 * **Gather, not scatter**: the output grid is tiled; every tile
-  evaluates the Voigt function of all candidate lines (centers within
-  cutoff of the tile) as one dense [tile_width, nlines_tile] block --
-  pure VPU work with a final contraction over lines.
+  evaluates all candidate lines (centers within cutoff of the tile) as
+  one dense [tile_width, nlines_tile] block -- pure VPU work with a
+  final contraction over lines.
+* **Static core/wing split**: a Voigt profile only needs the full
+  Faddeeva function within ~14 Doppler widths of the line center; the
+  far wings (the overwhelming majority of (point, line) pairs inside
+  the 25 cm-1 cutoff) follow the large-|z| asymptotic series
+  w(z) ~ i/(sqrt(pi) z)(1 + 1/2z^2 + 3/4z^4), ~25 flops/pair instead
+  of ~300.  The split distance (margin) is a static bound computed
+  from the maximum Doppler width, so the partition compiles to two
+  fixed-shape passes:
+    - core pass: fine tiles (8 points), candidates within margin,
+      full Faddeeva, mask |dnu| <= margin;
+    - wing pass: coarse tiles (128 points), candidates within cutoff,
+      asymptotic series, mask margin < |dnu| <= cutoff.
+  The masks make the partition exact pointwise.
 * **No profile grid, no width snapping**: each line uses its exact
   Doppler/Lorentz widths (the reference quantizes onto a log grid).
 * **Float32-safe by construction**: line strengths span ~40 decades,
   so they are computed in log space and normalized by the running
-  maximum; lines below the float32 floor underflow to exactly the
-  zero contribution the reference's ethresh pruning would drop.
+  maximum; line-center offsets dnu = nu - nu0 are computed from
+  (hi, lo) float-pair splits of the wavenumber arrays, so they keep
+  full relative precision in float32 (a raw f32 subtraction at
+  nu ~ 1e4 cm-1 would have ~1e-3 cm-1 error, a tenth of a Doppler
+  width).
 * Static tiling: line centers and the output grid are fixed per setup,
   so per-tile candidate ranges are precomputed host-side and the whole
   sampler jits once with fixed shapes.
 
-Cross sections here differ from the reference engine only by its
-profile-grid quantization (few %); physics validation is against an
-exact float64 direct evaluation (tests/test_lbl_tpu.py).
+Physics validation is against an exact float64 wofz evaluation
+(tests/test_lbl_tpu.py, rtol 1e-5).
 """
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from .. import constants as pc
 from ..ops.special import wofz_real
@@ -34,88 +48,159 @@ __all__ = ['DirectLBL']
 
 _SQRTLN2 = 0.83255461115769775635
 _SQRT_PI = 1.7724538509055159
+# Large-|z| boundary where the 3-term asymptotic series of w(z) is
+# accurate to ~2e-7 relative:
+_ASYMPTOTIC_Z = 14.0
+
+
+def _split_hi_lo(values):
+    """Split float64 values into (hi, lo) with hi = f32-rounded value.
+
+    Both parts are stored as float64: under x64 the sum is the exact
+    input; under default x32 both cast losslessly to f32 and the
+    difference-of-splits trick keeps full precision of differences.
+    """
+    values = np.asarray(values, np.float64)
+    hi = values.astype(np.float32).astype(np.float64)
+    return hi, values - hi
+
+
+def _tile_ranges(wn_tiles, lwn, window):
+    """Per-tile [start, start+lmax) candidate-line windows (static).
+
+    Returns (starts [ntiles] int32, lmax int) such that every line
+    within `window` cm-1 of any point of a tile is inside the tile's
+    gather range.  Ranges near the array ends are shifted (not
+    truncated) so gathers stay in bounds; distance masks reject the
+    extra lines at compute time.
+    """
+    tile_lo = wn_tiles.min(axis=1) - window
+    tile_hi = wn_tiles.max(axis=1) + window
+    starts = np.searchsorted(lwn, tile_lo)
+    ends = np.searchsorted(lwn, tile_hi, side='right')
+    lmax = max(int((ends - starts).max()), 1)
+    nlines = len(lwn)
+    starts = np.clip(starts, 0, max(nlines - lmax, 0))
+    return starts.astype(np.int32), lmax
 
 
 class DirectLBL:
     """Direct-evaluation LBL sampler over a static wavenumber grid."""
 
-    def __init__(self, lbl, wn=None, tile=256, cutoff=None):
+    def __init__(self, lbl, wn=None, tile=128, cutoff=None, tile_core=8,
+                 margin=None, tmax_bound=None):
         """
         Parameters
         ----------
         lbl: LineByLine -- provides line data, isotope properties, and
             partition functions (opacity/lbl.py).
         wn: output wavenumber grid (default: the lbl coarse grid).
-        tile: output-grid tile width (VPU lane-friendly multiples of
-            128 recommended).
+        tile: wing-pass output tile width (VPU lane-friendly multiples
+            of 128 recommended).
         cutoff: line-wing cutoff in cm-1 (default: the lbl cutoff).
+        tile_core: core-pass tile width (small, so core candidate
+            lists stay tight around the margin window).
+        margin: core/wing split distance in cm-1 (default: computed
+            so |z| >= 14 is guaranteed in the wings for any T up to
+            tmax_bound).
+        tmax_bound: temperature bound for the static margin (default:
+            1.5x the lbl tmax, or 6000 K).
         """
         self.lbl = lbl
-        self.wn = np.asarray(lbl.wn if wn is None else wn)
+        self.wn = np.asarray(wn if wn is not None else lbl.wn, np.float64)
         self.nwave = len(self.wn)
-        self.tile = tile
-        self.cutoff = float(lbl.cutoff if cutoff is None else cutoff)
+        self.tile = int(tile)
+        self.tile_core = int(tile_core)
+        self.cutoff = float(cutoff if cutoff is not None else lbl.cutoff)
 
         # Sort lines by wavenumber (static):
-        order = np.argsort(lbl.lwn, kind='stable')
-        self.lwn = np.asarray(lbl.lwn)[order]
-        self.gf = np.asarray(lbl.gf)[order]
-        self.elow = np.asarray(lbl.elow)[order]
-        self.isoid = np.asarray(lbl.isoid, int)[order]
+        order = np.argsort(np.asarray(lbl.lwn), kind='stable')
+        self.lwn = np.asarray(lbl.lwn, np.float64)[order]
+        self.gf = np.asarray(lbl.gf, np.float64)[order]
+        self.elow = np.asarray(lbl.elow, np.float64)[order]
+        self.isoid = np.asarray(lbl.isoid, np.int32)[order]
         self.nlines = len(self.lwn)
 
-        # Pad the output grid to a tile multiple:
-        self.ntiles = int(np.ceil(self.nwave / tile))
-        npad = self.ntiles * tile
-        wn_pad = np.concatenate([
-            self.wn, np.full(npad - self.nwave, self.wn[-1] + 1e6),
-        ])
-        self.wn_tiles = wn_pad.reshape(self.ntiles, tile)
-
-        # Per-tile candidate line ranges (static):
-        tile_lo = self.wn_tiles.min(axis=1) - self.cutoff
-        tile_hi = self.wn_tiles.max(axis=1) + self.cutoff
-        # Padded tiles have huge wn -> empty ranges:
-        tile_hi = np.where(
-            self.wn_tiles.min(axis=1) > self.wn[-1], -np.inf, tile_hi,
-        )
-        starts = np.searchsorted(self.lwn, tile_lo)
-        ends = np.searchsorted(self.lwn, tile_hi, side='right')
-        counts = ends - starts
-        self.lmax = max(int(counts.max()), 1)
-        # Clamp gather windows into the valid line range:
-        starts = np.minimum(starts, max(self.nlines - self.lmax, 0))
-        self.tile_starts = starts
-        self.tile_counts = counts
-
         # Per-line isotope properties:
-        self.iso_mass = np.asarray(lbl.iso_mass)
-        self.iso_ratio = np.asarray(lbl.iso_ratio)
-        self.iso_spec = np.asarray(lbl.iso_spec_index, int)
-        self.iso_imol = np.asarray(lbl.iso_atm_index, int)
-        self.nspec = lbl.nspec
-        self.mol_radius = np.asarray(lbl.mol_radius)
-        self.mol_mass = np.asarray(lbl.mol_mass)
+        self.iso_mass = np.asarray(lbl.iso_mass, np.float64)
+        self.iso_ratio = np.asarray(lbl.iso_ratio, np.float64)
+        self.iso_spec = np.asarray(lbl.iso_spec_index, np.int32)
+        self.iso_imol = np.asarray(lbl.iso_atm_index, np.int32)
+        self.nspec = int(lbl.nspec)
+        self.mol_radius = np.asarray(lbl.mol_radius, np.float64)
+        self.mol_mass = np.asarray(lbl.mol_mass, np.float64)
+
+        # Static core/wing split distance: guarantee |x| >= 14 beyond
+        # the margin for the largest possible Doppler HWHM:
+        if margin is None:
+            if tmax_bound is None:
+                tmax = getattr(lbl, 'tmax', None)
+                tmax_bound = 1.5 * tmax if tmax and np.isfinite(tmax) \
+                    else 6000.0
+            fdop_max = np.sqrt(
+                2.0 * pc.KB_KERNEL * tmax_bound
+                / (pc.AMU_KERNEL * self.iso_mass.min())
+            ) / pc.LS_KERNEL
+            ad_max = fdop_max * self.lwn.max() * _SQRTLN2
+            margin = 1.2 * _ASYMPTOTIC_Z * ad_max / _SQRTLN2
+        self.margin = float(min(margin, self.cutoff))
+
+        # Wing tiling (coarse) over the full cutoff window:
+        self.ntiles = -(-self.nwave // self.tile)
+        self.wn_tiles = self._pad_tiles(self.tile, self.ntiles)
+        self.tile_starts, self.lmax = _tile_ranges(
+            self.wn_tiles, self.lwn, self.cutoff,
+        )
+        # Core tiling (fine) over the margin window:
+        self.ntiles_core = -(-self.nwave // self.tile_core)
+        self.wn_tiles_core = self._pad_tiles(
+            self.tile_core, self.ntiles_core,
+        )
+        self.starts_core, self.lmax_core = _tile_ranges(
+            self.wn_tiles_core, self.lwn, self.margin,
+        )
+
+        # (hi, lo) float-pair splits keep dnu = nu - nu0 accurate when
+        # everything downcasts to float32 on the TPU:
+        lwn_hi, lwn_lo = _split_hi_lo(self.lwn)
+        wn_hi, wn_lo = _split_hi_lo(self.wn_tiles)
+        wnc_hi, wnc_lo = _split_hi_lo(self.wn_tiles_core)
 
         # Line data ships as jit arguments (a pytree), not closure
         # constants: multi-MB HLO literals stall remote compilation
         # and re-trace on every new engine instance.
         self._tables = {
-            'lwn': np.asarray(self.lwn, np.float64),
-            'gf': np.asarray(self.gf, np.float64),
-            'elow': np.asarray(self.elow, np.float64),
-            'isoid': np.asarray(self.isoid, np.int32),
-            'wn_tiles': np.asarray(self.wn_tiles, np.float64),
-            'starts': np.asarray(self.tile_starts, np.int32),
-            'counts': np.asarray(self.tile_counts, np.int32),
-            'iso_mass': np.asarray(self.iso_mass),
-            'iso_ratio': np.asarray(self.iso_ratio),
-            'iso_spec': np.asarray(self.iso_spec, np.int32),
-            'mol_radius': np.asarray(self.mol_radius),
-            'mol_mass': np.asarray(self.mol_mass),
+            'lwn': self.lwn,
+            'lwn_hi': lwn_hi,
+            'lwn_lo': lwn_lo,
+            'gf': self.gf,
+            'elow': self.elow,
+            'isoid': self.isoid,
+            'wn_tiles_hi': wn_hi,
+            'wn_tiles_lo': wn_lo,
+            'wn_core_hi': wnc_hi,
+            'wn_core_lo': wnc_lo,
+            'starts': self.tile_starts,
+            'starts_core': self.starts_core,
+            'iso_mass': self.iso_mass,
+            'iso_ratio': self.iso_ratio,
+            'iso_spec': self.iso_spec,
+            'mol_radius': self.mol_radius,
+            'mol_mass': self.mol_mass,
         }
         self._jit_cs = jax.jit(self._cross_section)
         self._device_tables = None
+
+    def _pad_tiles(self, tile, ntiles):
+        # Pad with the last grid value: padded outputs are sliced off
+        # after the flatten, and repeating a real value keeps the
+        # static candidate windows tight (a far-away sentinel would
+        # blow up the last tile's gather range).
+        npad = ntiles * tile
+        wn_pad = np.concatenate([
+            self.wn, np.full(npad - self.nwave, self.wn[-1]),
+        ])
+        return wn_pad.reshape(ntiles, tile)
 
     def tables(self):
         """Line-data pytree, cached on device after the first use
@@ -147,16 +232,16 @@ class DirectLBL:
         )
         return alphal, fdop
 
-    def _cross_section(self, tables, temp, densities, iso_pf):
-        """sigma [nspec, nwave] (cm2/molec) at one (T, densities) cell."""
-        temp = jnp.asarray(temp)
+    def _line_factors(self, tables, temp, densities, iso_pf):
+        """Per-line arrays [nlines]: strength scale, inverse Doppler
+        width, Lorentz/Doppler ratio y, and the global strength max."""
         alphal_iso, fdop_iso = self._layer_widths_t(
             tables, temp, densities,
         )
         isoid = tables['isoid']
+        lwn = tables['lwn']
 
         # Log-space line strengths, normalized by the global max:
-        lwn = tables['lwn']
         log_k = (
             jnp.log(pc.SIGCTE * tables['iso_ratio'][isoid]
                     * tables['gf'])
@@ -168,48 +253,98 @@ class DirectLBL:
         weight = jnp.exp(log_k - log_kmax)      # in [0, 1]
         kmax = jnp.exp(log_kmax)
 
-        alphal = alphal_iso[isoid]
         alphad = fdop_iso[isoid] * lwn * _SQRTLN2  # Doppler HWHM
+        inv_ad = _SQRTLN2 / alphad                 # x = dnu * inv_ad
+        y = alphal_iso[isoid] * inv_ad
+        # Voigt normalization folded into the strength:
+        scale = weight * inv_ad / _SQRT_PI
+        return scale, inv_ad, y, kmax
 
-        wn_tiles = tables['wn_tiles']
-        starts = tables['starts']
-        counts = tables['counts']
-
-        def tile_fn(args):
-            wn_t, start, count = args
-            idx = start + jnp.arange(self.lmax)
-            valid = jnp.arange(self.lmax) < count
-            l_wn = lwn[idx]
-            l_w = weight[idx] * valid
-            l_spec = tables['iso_spec'][isoid[idx]] \
-                if self.nspec > 1 else None
-            a_d = alphad[idx]                   # Doppler HWHM
-            y = _SQRTLN2 * alphal[idx] / a_d
-            dwn = wn_t[:, None] - l_wn[None, :]
-            x = _SQRTLN2 * dwn / a_d[None, :]
-            voigt = wofz_real(x, jnp.broadcast_to(y[None, :], x.shape)) \
-                * (_SQRTLN2 / _SQRT_PI) / a_d[None, :]
-            voigt = jnp.where(
-                jnp.abs(dwn) <= self.cutoff, voigt, 0.0,
-            )
-            contrib = voigt * l_w[None, :]
-            if self.nspec > 1:
-                spec_onehot = (
-                    l_spec[None, :] == jnp.arange(self.nspec)[:, None]
-                )
-                return jnp.einsum(
-                    'wl,sl->sw', contrib, spec_onehot.astype(contrib.dtype),
-                )
+    def _spec_contract(self, tables, contrib, idx):
+        """[tile, lmax] pair contributions -> [nspec, tile]."""
+        if self.nspec == 1:
             return jnp.sum(contrib, axis=1)[None, :]
+        l_spec = tables['iso_spec'][tables['isoid'][idx]]
+        spec_onehot = (
+            l_spec[None, :] == jnp.arange(self.nspec)[:, None]
+        )
+        return jnp.einsum(
+            'wl,sl->sw', contrib, spec_onehot.astype(contrib.dtype),
+        )
+
+    def _wing_tile(self, tables, scale, inv_ad, y, args):
+        """Wing pass for one tile: 3-term asymptotic Re[w(z)],
+        masked to margin < |dnu| <= cutoff."""
+        wn_hi, wn_lo, start = args
+        idx = start + jnp.arange(self.lmax)
+        dwn = (
+            (wn_hi[:, None] - tables['lwn_hi'][idx][None, :])
+            + (wn_lo[:, None] - tables['lwn_lo'][idx][None, :])
+        )
+        s = scale[idx][None, :]
+        ia = inv_ad[idx][None, :]
+        yy = y[idx][None, :]
+        x = dwn * ia
+        x2 = x * x
+        y2 = yy * yy
+        u = 1.0 / (x2 + y2)
+        u2 = u * u
+        # w(z) ~ i/(sqrt(pi) z) (1 + q/2 + 3 q^2/4), q = 1/z^2:
+        q_re = (x2 - y2) * u2
+        q_im = -2.0 * x * yy * u2
+        s_re = 1.0 + 0.5 * q_re + 0.75 * (q_re * q_re - q_im * q_im)
+        s_im = q_im * (0.5 + 1.5 * q_re)
+        re_w = (yy * s_re - x * s_im) * u * (1.0 / _SQRT_PI)
+        adwn = jnp.abs(dwn)
+        mask = (adwn > self.margin) & (adwn <= self.cutoff)
+        contrib = jnp.where(mask, re_w * s, 0.0)
+        return self._spec_contract(tables, contrib, idx)
+
+    def _core_tile(self, tables, scale, inv_ad, y, args):
+        """Core pass for one tile: full Faddeeva, |dnu| <= margin."""
+        wn_hi, wn_lo, start = args
+        idx = start + jnp.arange(self.lmax_core)
+        dwn = (
+            (wn_hi[:, None] - tables['lwn_hi'][idx][None, :])
+            + (wn_lo[:, None] - tables['lwn_lo'][idx][None, :])
+        )
+        s = scale[idx][None, :]
+        ia = inv_ad[idx][None, :]
+        yy = jnp.broadcast_to(y[idx][None, :], dwn.shape)
+        x = dwn * ia
+        voigt = wofz_real(x, yy)
+        mask = jnp.abs(dwn) <= self.margin
+        contrib = jnp.where(mask, voigt * s, 0.0)
+        return self._spec_contract(tables, contrib, idx)
+
+    def _cross_section(self, tables, temp, densities, iso_pf):
+        """sigma [nspec, nwave] (cm2/molec) at one (T, densities) cell."""
+        temp = jnp.asarray(temp)
+        scale, inv_ad, y, kmax = self._line_factors(
+            tables, temp, densities, iso_pf,
+        )
 
         # vmap (not lax.map/scan): the sequential-loop lowering stalls
         # the TPU compiler at scale, while the batched form fuses the
         # elementwise chain into the final contraction without
         # materializing the [ntiles, tile, lmax] intermediate.
-        sigma_tiles = jax.vmap(tile_fn)((wn_tiles, starts, counts))
+        wing = jax.vmap(
+            lambda a: self._wing_tile(tables, scale, inv_ad, y, a),
+        )((tables['wn_tiles_hi'], tables['wn_tiles_lo'],
+           tables['starts']))
+        core = jax.vmap(
+            lambda a: self._core_tile(tables, scale, inv_ad, y, a),
+        )((tables['wn_core_hi'], tables['wn_core_lo'],
+           tables['starts_core']))
+
         # [ntiles, nspec, tile] -> [nspec, nwave]:
-        sigma = jnp.moveaxis(sigma_tiles, 1, 0).reshape(self.nspec, -1)
-        return sigma[:, :self.nwave] * kmax
+        sigma = (
+            jnp.moveaxis(wing, 1, 0).reshape(self.nspec, -1)[
+                :, :self.nwave]
+            + jnp.moveaxis(core, 1, 0).reshape(self.nspec, -1)[
+                :, :self.nwave]
+        )
+        return sigma * kmax
 
     # ------------------------------------------------------------------
 

@@ -10,7 +10,10 @@ import subprocess
 
 import numpy as np
 
-__all__ = ['load_runtime', 'parse_hitran_records', 'tli_extract_range']
+__all__ = [
+    'load_runtime', 'parse_hitran_records', 'tli_extract_range',
+    'lbl_group', 'lbl_scatter',
+]
 
 _HERE = os.path.dirname(os.path.realpath(__file__))
 _LIB_PATH = os.path.join(_HERE, 'libpbt_runtime.so')
@@ -42,6 +45,8 @@ def load_runtime():
             ctypes.c_int32,
         ]
         lib.tli_extract_range.restype = ctypes.c_int64
+        lib.lbl_group.restype = ctypes.c_int64
+        lib.lbl_scatter.restype = None
         _lib = lib
     except (subprocess.CalledProcessError, OSError):
         _load_failed = True
@@ -112,3 +117,59 @@ def tli_extract_range(wn, iso, elow, gf, seg_counts, wn_low, wn_high):
     return (
         out_wn[:kept], out_iso[:kept], out_elow[:kept], out_gf[:kept],
     )
+
+
+def lbl_group(awavn, aiso, anchor_cand, ownstep):
+    """Greedy LBL co-adding segmentation (native).
+
+    Returns (group_id int32 [n], ngroups), or None if unavailable.
+    """
+    lib = load_runtime()
+    if lib is None:
+        return None
+    awavn = np.ascontiguousarray(awavn, np.float64)
+    aiso = np.ascontiguousarray(aiso, np.int32)
+    anchor_cand = np.ascontiguousarray(anchor_cand, np.float64)
+    n = len(awavn)
+    group_id = np.empty(n, np.int32)
+    ngroups = lib.lbl_group(
+        _dptr(awavn),
+        aiso.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _dptr(anchor_cand),
+        ctypes.c_int64(n), ctypes.c_double(ownstep),
+        group_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return group_id, int(ngroups)
+
+
+def lbl_scatter(strong, g_spec, minj, maxj, pindex, offset, ofactor,
+                k_group, profile, ktmp):
+    """Strided profile gather-add into ktmp [nspec, dnwn] (native).
+
+    Returns True on success, None if unavailable.
+    """
+    lib = load_runtime()
+    if lib is None:
+        return None
+    strong = np.ascontiguousarray(strong, np.uint8)
+    g_spec = np.ascontiguousarray(g_spec, np.int32)
+    minj = np.ascontiguousarray(minj, np.int64)
+    maxj = np.ascontiguousarray(maxj, np.int64)
+    pindex = np.ascontiguousarray(pindex, np.int64)
+    offset = np.ascontiguousarray(offset, np.int64)
+    k_group = np.ascontiguousarray(k_group, np.float64)
+    profile = np.ascontiguousarray(profile, np.float64)
+    assert ktmp.flags.c_contiguous and ktmp.dtype == np.float64
+    lib.lbl_scatter(
+        ctypes.c_int64(len(k_group)),
+        strong.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        g_spec.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        minj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        maxj.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pindex.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offset.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(ofactor),
+        _dptr(k_group), _dptr(profile), _dptr(ktmp),
+        ctypes.c_int64(ktmp.shape[1]),
+    )
+    return True

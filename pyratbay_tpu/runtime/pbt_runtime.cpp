@@ -114,4 +114,56 @@ int64_t tli_extract_range(
     return kept;
 }
 
+// Greedy co-adding segmentation of the (isotope-then-wavenumber
+// sorted) active line list: a new group starts when the isotope
+// changes or the line falls outside `ownstep` of the current group's
+// anchor (the fine-grid wavenumber of the group's first line).
+// Mirrors the accumulation loop of the reference LBL kernel
+// (src_c/_extcoeff.c:247-262).  Returns the number of groups.
+int64_t lbl_group(
+        const double* awavn, const int32_t* aiso,
+        const double* anchor_cand, int64_t n, double ownstep,
+        int32_t* group_id) {
+    if (n == 0) return 0;
+    int64_t gid = 0;
+    double anchor = anchor_cand[0];
+    int32_t aniso = aiso[0];
+    group_id[0] = 0;
+    for (int64_t j = 1; j < n; j++) {
+        bool same = (aiso[j] == aniso)
+            && (std::fabs(awavn[j] - anchor) < ownstep);
+        if (!same) {
+            gid++;
+            anchor = anchor_cand[j];
+            aniso = aiso[j];
+        }
+        group_id[j] = (int32_t)gid;
+    }
+    return gid + 1;
+}
+
+// Strided profile gather-add: for each strong line group, add
+// k_group * profile[pindex - offset + ofactor*j] over the window
+// [minj, maxj) of its species' row of ktmp [nspec, dnwn].
+// The scatter loop of src_c/_extcoeff.c:270-308 as a gather.
+void lbl_scatter(
+        int64_t ngroups, const uint8_t* strong, const int32_t* g_spec,
+        const int64_t* minj, const int64_t* maxj,
+        const int64_t* pindex, const int64_t* offset, int64_t ofactor,
+        const double* k_group, const double* profile,
+        double* ktmp, int64_t dnwn) {
+    for (int64_t g = 0; g < ngroups; g++) {
+        if (!strong[g]) continue;
+        int64_t j0 = minj[g], j1 = maxj[g];
+        if (j1 <= j0) continue;
+        double k = k_group[g];
+        double* row = ktmp + (int64_t)g_spec[g] * dnwn;
+        const double* prof = profile + pindex[g] - offset[g]
+            + ofactor * j0;
+        for (int64_t j = j0; j < j1; j++) {
+            row[j] += k * prof[(j - j0) * ofactor];
+        }
+    }
+}
+
 }  // extern "C"
