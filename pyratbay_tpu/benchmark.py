@@ -34,8 +34,9 @@ def _synthetic_cs_table(path, wn, press, species='H2O', ntemp=10, seed=5):
         -0.5 * ((wn - wn.mean()) / (0.2 * np.ptp(wn)))**2
     )
     lines = np.zeros(nwave)
-    line_pos = rng.choice(nwave, 400, replace=False)
-    lines[line_pos] = rng.lognormal(0.0, 1.5, 400) * 1e-21
+    nlines = min(400, max(nwave // 4, 1))
+    line_pos = rng.choice(nwave, nlines, replace=False)
+    lines[line_pos] = rng.lognormal(0.0, 1.5, nlines) * 1e-21
     opacity = np.zeros((ntemp, nlayers, nwave))
     for it, temp in enumerate(temps):
         tfac = (temp / 1000.0)**-0.5

@@ -50,11 +50,12 @@ _STR_KEYS = [
     'statistics', 'starspec', 'kurucz', 'marcs', 'phoenix', 'mstar',
     'distance', 'rplanet', 'refpressure', 'mplanet', 'mpunits', 'smaxis',
     'specfile', 'rstar', 'wl_low', 'wl_high', 'wlstep', 'ptop', 'pbottom',
-    'mcmcfile', 'theme', 'data_color',
+    'mcmcfile', 'theme', 'data_color', 'dist_coordinator',
 ]
 _INT_KEYS = [
     'ncpu', 'verb', 'wnosamp', 'wl_thinning', 'nlayers', 'ndop', 'nlor',
     'quadrature', 'nsamples', 'nchains', 'burnin', 'thinning', 'nlive',
+    'dist_nprocs', 'dist_procid',
 ]
 _FLOAT_KEYS = [
     'xsolar',

@@ -23,6 +23,11 @@ def run(cfile, root=None):
     cfg = cfg_parser.parse(cfile, root=root)
     runmode = cfg.runmode
 
+    # Multi-host bootstrap (no-op unless dist_* keys / PBT_* env are
+    # set; parallel/distributed.py):
+    from .parallel.distributed import initialize_distributed
+    initialize_distributed(cfg)
+
     if runmode == 'tli':
         from .opacity.tli import make_tli
         tlifile = cfg.tlifile[0] if cfg.tlifile else None

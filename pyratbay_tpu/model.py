@@ -697,10 +697,29 @@ class Model:
             return jnp.asarray(self.input_radius)
         return None
 
-    def extinction(self, temp, radius, dens, pars_list=None, skip=()):
+    def direct_lbl(self, lbl):
+        """Cached DirectLBL engine for an lbl opacity model (the
+        jit-safe exact-Voigt evaluator, opacity/lbl_tpu.py)."""
+        if not hasattr(self, '_direct_lbl'):
+            self._direct_lbl = {}
+        key = id(lbl)
+        if key not in self._direct_lbl:
+            from .opacity.lbl_tpu import DirectLBL
+            # Build against the model's output grid (it may have been
+            # pad-extended for wave sharding, parallel/sharded.py):
+            self._direct_lbl[key] = DirectLBL(lbl, wn=self.wn)
+        return self._direct_lbl[key]
+
+    def extinction(self, temp, radius, dens, pars_list=None, skip=(),
+                   lbl_engine='parity'):
         """Total extinction coefficient [nlayers, nwave] (cm-1), the
         separate cloud extinction for patchy models, and the deck
-        surface triple."""
+        surface triple.
+
+        lbl_engine: 'parity' (host profile-grid sampler, golden-exact)
+        or 'direct' (jit-safe exact-Voigt engine; required inside the
+        jitted retrieval forward).
+        """
         if pars_list is None:
             pars_list = self.model_pars()
         ec = jnp.zeros((self.nlayers, self.nwave))
@@ -726,7 +745,12 @@ class Model:
                 ])
                 contrib = model.extinction(temp, density * sk[None, :])
             elif mtype == 'lbl':
-                contrib = model.extinction(temp, dens, skip=skip)
+                if lbl_engine == 'direct':
+                    contrib = self.direct_lbl(model).extinction_fn()(
+                        temp, dens,
+                    )
+                else:
+                    contrib = model.extinction(temp, dens, skip=skip)
             elif mtype == 'alkali':
                 contrib = model.extinction(temp, dens[:, imol])
             elif mtype == 'cia':

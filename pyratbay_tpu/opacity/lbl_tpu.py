@@ -166,6 +166,17 @@ class DirectLBL:
         wn_hi, wn_lo = _split_hi_lo(self.wn_tiles)
         wnc_hi, wnc_lo = _split_hi_lo(self.wn_tiles_core)
 
+        # Dense partition-function grid for jit-safe interpolation
+        # (the host iso_pf interpolates per-isotope tables of varying
+        # lengths; a uniform resample makes it one vectorized lerp):
+        tlo = getattr(lbl, 'tmin', None) or 70.0
+        thi = getattr(lbl, 'tmax', None) or 6000.0
+        self._pf_t0 = float(tlo)
+        n_pf = 512
+        self._pf_dt = (float(thi) - float(tlo)) / (n_pf - 1)
+        pf_grid_t = np.linspace(float(tlo), float(thi), n_pf)
+        pf_dense = np.asarray(lbl.iso_pf(pf_grid_t), np.float64)
+
         # Line data ships as jit arguments (a pytree), not closure
         # constants: multi-MB HLO literals stall remote compilation
         # and re-trace on every new engine instance.
@@ -187,6 +198,7 @@ class DirectLBL:
             'iso_spec': self.iso_spec,
             'mol_radius': self.mol_radius,
             'mol_mass': self.mol_mass,
+            'iso_pf_grid': pf_dense,
         }
         self._jit_cs = jax.jit(self._cross_section)
         self._device_tables = None
@@ -345,6 +357,40 @@ class DirectLBL:
                 :, :self.nwave]
         )
         return sigma * kmax
+
+    def _iso_pf_t(self, tables, temp):
+        """Jit-safe per-isotope partition functions at scalar temp."""
+        grid = tables['iso_pf_grid']
+        n_pf = grid.shape[1]
+        x = (temp - self._pf_t0) / self._pf_dt
+        i0 = jnp.clip(x.astype(jnp.int32), 0, n_pf - 2)
+        w = jnp.clip(x - i0, 0.0, 1.0)
+        return grid[:, i0] * (1.0 - w) + grid[:, i0 + 1] * w
+
+    def extinction_fn(self):
+        """Build a pure fn(temp [nlayers], dens [nlayers, nmol]) ->
+        ec [nlayers, nwave] (cm-1), jit/vmap-safe.
+
+        This is what lets live line-by-line opacity run inside the
+        jitted retrieval forward (the reference forks a process pool
+        per evaluation, pyrat/line_by_line.py:231-248).
+        """
+        tables = self.tables()
+        imol_of_spec = np.array([
+            self.iso_imol[np.argmax(self.iso_spec == s)]
+            for s in range(self.nspec)
+        ])
+
+        def ec_fn(temp, dens):
+            def layer(t, d):
+                pf = self._iso_pf_t(tables, t)
+                return self._cross_section(tables, t, d, pf)
+            cs = jax.vmap(layer)(temp, dens)   # [nl, nspec, nwave]
+            return jnp.sum(
+                cs * dens[:, imol_of_spec][:, :, None], axis=1,
+            )
+
+        return ec_fn
 
     # ------------------------------------------------------------------
 

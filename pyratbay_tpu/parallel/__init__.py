@@ -1,5 +1,6 @@
 from .sharded import (
     make_mesh,
+    shard_model_tables,
     sharded_retrieval_step,
-    shard_tables,
+    build_flagship_sharded,
 )

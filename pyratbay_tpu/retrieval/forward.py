@@ -37,13 +37,14 @@ def build_forward(model, obs=None, ret=None, dtype=None):
     -------
     forward(params) -> dict(spectrum, bandflux, temperature, good)
     """
-    for mtype, _, _ in model.opacity_models:
-        if mtype == 'lbl':
-            raise ValueError(
-                'The jitted forward model requires tabulated opacities; '
-                'tabulate LBL data first (runmode=opacity) and use '
-                'sampled_cross_sec'
-            )
+    # Live line-by-line opacity runs through the jit-safe DirectLBL
+    # engine (exact Voigt, core/wing split); instantiate it eagerly so
+    # its device tables upload once, before tracing:
+    has_lbl = any(mtype == 'lbl' for mtype, _, _ in model.opacity_models)
+    if has_lbl:
+        for mtype, m, _ in model.opacity_models:
+            if mtype == 'lbl':
+                model.direct_lbl(m)
 
     # Closures hold host numpy arrays: they are embedded as constants
     # at trace time, so building the forward dispatches no eager device
@@ -185,6 +186,7 @@ def build_forward(model, obs=None, ret=None, dtype=None):
         # ---- Opacity + RT (reuses the Model's jit-safe pipeline):
         ec, ec_cloud, deck_surface = model.extinction(
             temp, radius, dens, pars_list,
+            lbl_engine='direct' if has_lbl else 'parity',
         )
         if is_transit:
             result = model._run_transit(

@@ -89,6 +89,29 @@ def test_direct_lbl_tabulate(lbl_model):
 
 
 @requires_reference
+def test_lbl_in_jitted_forward(lbl_model):
+    """The jitted retrieval forward accepts live LBL opacity via
+    DirectLBL and matches the parity-engine spectrum within the
+    profile-grid quantization."""
+    import jax
+    from pyratbay_tpu.retrieval.forward import build_forward
+
+    model = lbl_model
+    forward = jax.jit(build_forward(model))
+    out = forward()
+    spec_direct = np.asarray(out['spectrum'])
+
+    spec_parity = np.asarray(model.run()['spectrum'])
+    assert np.all(np.isfinite(spec_direct))
+    # Direct vs profile-grid engines differ only by the grid
+    # quantization (few % of the spectral modulation):
+    mod = spec_parity.max() - spec_parity.min()
+    np.testing.assert_allclose(
+        spec_direct, spec_parity, atol=0.05 * mod,
+    )
+
+
+@requires_reference
 def test_direct_lbl_vs_parity_engine(lbl_model):
     """Direct evaluation agrees with the profile-grid engine within
     its quantization error (~few %)."""

@@ -1,10 +1,14 @@
-"""Multi-device SPMD tests on the virtual 8-device CPU mesh."""
+"""Multi-device SPMD tests of the REAL model on the virtual 8-device
+CPU mesh: wave-sharded spectral tables must reproduce the
+single-device forward exactly, and the full sharded DEMC step must
+compile and run.
+"""
 import numpy as np
 import jax
 import pytest
 
 from pyratbay_tpu.parallel.sharded import (
-    make_mesh, make_demo_tables, shard_tables, sharded_retrieval_step,
+    make_mesh, shard_model_tables,
 )
 
 
@@ -19,47 +23,87 @@ def test_sharded_retrieval_step():
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason='needs 8 (virtual) devices',
 )
-def test_wave_sharding_matches_single_device():
-    """Sharded forward == single-device forward (bit-level physics)."""
-    from jax import random
+def test_wave_sharded_flagship_matches_single_device(tmp_path):
+    """The real flagship forward over a (chains, wave) mesh equals the
+    single-device evaluation (same params, same physics)."""
+    from pyratbay_tpu.benchmark import make_flagship
+    from pyratbay_tpu.retrieval.forward import build_forward
+    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    model, obs, ret, forward, p0 = make_flagship(
+        str(tmp_path / 'flag'), nlayers=21, wl_low=1.1, wl_high=1.3,
+        wnstep=2.0,
+    )
+    rng = np.random.default_rng(3)
+    params = np.asarray(
+        np.tile(p0, (8, 1)) + 0.01 * rng.standard_normal((8, len(p0))),
+        np.float64,
+    )
+    single = jax.jit(jax.vmap(forward))(jnp.asarray(params))
+    spec_single = np.asarray(single['spectrum'])
+    band_single = np.asarray(single['bandflux'])
+
+    # Shard the same model's tables over the mesh and re-trace:
     mesh = make_mesh(jax.devices()[:8])
-    wave_shards = mesh.shape['wave']
-    nwave = 128 * wave_shards
-    tables_np = make_demo_tables(nlayers=10, nwave=nwave)
+    shard_model_tables(model, obs, mesh)
+    forward_sh = build_forward(model, obs, ret)
+    params_sh = jax.device_put(
+        params, NamedSharding(mesh, P('chains', None)),
+    )
+    sharded = jax.jit(jax.vmap(forward_sh))(params_sh)
+    # The wave axis may be pad-extended to a shard multiple; compare
+    # the physical region:
+    spec_sharded = np.asarray(sharded['spectrum'])[
+        :, :spec_single.shape[1]]
+    band_sharded = np.asarray(sharded['bandflux'])
 
-    nchains = 16
-    step, chains0 = sharded_retrieval_step(mesh, nchains=nchains)
-    tables = shard_tables(tables_np, mesh)
-    chains = jax.device_put(
-        chains0, NamedSharding(mesh, P('chains', None)),
-    )
-    logp0 = jax.device_put(
-        np.full(nchains, -1e10, np.float32),
-        NamedSharding(mesh, P('chains')),
-    )
-    key = random.PRNGKey(0)
-    out_sharded, logp_sharded = step(tables, chains, logp0, key)
+    np.testing.assert_allclose(spec_sharded, spec_single, rtol=1e-5)
+    np.testing.assert_allclose(band_sharded, band_single, rtol=1e-5)
 
-    # Single-device run of the same step:
-    mesh1 = make_mesh(jax.devices()[:1])
-    step1, _ = sharded_retrieval_step(mesh1, nchains=nchains)
-    tables1 = shard_tables(tables_np, mesh1)
-    out_single, logp_single = step1(
-        tables1,
-        jax.device_put(chains0, jax.devices()[0]),
-        jax.device_put(np.full(nchains, -1e10, np.float32),
-                       jax.devices()[0]),
-        key,
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs 8 (virtual) devices',
+)
+def test_wave_sharded_lbl_matches_single_device(tmp_path):
+    """DirectLBL with sharded tile grids == single-device (the
+    gather-based no-halo wavenumber decomposition)."""
+    import configparser
+    from conftest import reference_available, REFERENCE_ROOT
+    if not reference_available():
+        pytest.skip('reference inputs unavailable')
+    from pyratbay_tpu.model import Model
+    from pyratbay_tpu.opacity.tli import make_tli
+    from pyratbay_tpu.retrieval.forward import build_forward
+
+    tli = str(tmp_path / 'h2o.tli')
+    make_tli(
+        [REFERENCE_ROOT + 'tests/inputs/Mock_HITRAN_H2O_1.00-1.01um.par'],
+        ['tips'], ['hitran'], tli, 1.0, 1.01, 'um',
     )
-    np.testing.assert_allclose(
-        np.asarray(out_sharded), np.asarray(out_single),
-        rtol=1e-5, atol=1e-6,
-    )
-    np.testing.assert_allclose(
-        np.asarray(logp_sharded), np.asarray(logp_single), rtol=1e-4,
-    )
+    ini = configparser.ConfigParser()
+    ini.optionxform = str
+    ini.read(REFERENCE_ROOT + 'tests/configs/spectrum_transmission_test.cfg')
+    for key in ('sampled_cross_sec', 'continuum_cross_sec', 'alkali',
+                'clouds'):
+        ini.remove_option('pyrat', key)
+    ini.set('pyrat', 'tlifile', tli)
+    ini.set('pyrat', 'wl_low', '1.0 um')
+    ini.set('pyrat', 'wl_high', '1.01 um')
+    cfg = str(tmp_path / 'lbl.cfg')
+    with open(cfg, 'w') as f:
+        ini.write(f)
+
+    model = Model(cfg, root=REFERENCE_ROOT)
+    forward = build_forward(model)
+    spec_single = np.asarray(jax.jit(forward)()['spectrum'])
+
+    mesh = make_mesh(jax.devices()[:8])
+    shard_model_tables(model, None, mesh)
+    forward_sh = build_forward(model)
+    spec_sharded = np.asarray(
+        jax.jit(forward_sh)()['spectrum'])[:len(spec_single)]
+    np.testing.assert_allclose(spec_sharded, spec_single, rtol=1e-6)
 
 
 def test_entry_compiles():
