@@ -68,7 +68,13 @@ class LineByLine:
         self.nwave = len(self.wn)
         self.own = np.asarray(own)
         self.onwave = len(self.own)
-        self.ownstep = ownstep
+        # Array-derived step, exactly as the C kernel recomputes it
+        # (_extcoeff.c:186): the last-ulp difference from the analytic
+        # grid value flips integer window boundaries otherwise.
+        self.ownstep = (
+            float(self.own[1] - self.own[0])
+            if self.onwave > 1 else ownstep
+        )
         self.odivisors = np.asarray(odivisors)
         self.ethresh = ethresh
         self.cutoff = voigt_cutoff
@@ -225,8 +231,11 @@ class LineByLine:
         )
         minwidth = min(1e5, np.amin(vwidth))
         divs = self.odivisors
+        # First divisor crossing the threshold, else one past the end
+        # (the C loop runs off the array and picks the last divisor,
+        # _extcoeff.c:189-193):
         over = np.nonzero(divs[1:] * self.ownstep >= 0.5 * minwidth)[0]
-        i_div = (over[0] + 1) if len(over) else len(divs) - 1
+        i_div = (over[0] + 1) if len(over) else len(divs)
         ofactor = int(divs[i_div - 1])
         dwnstep = self.ownstep * ofactor
         dnwn = 1 + (self.onwave - 1) // ofactor
@@ -357,9 +366,16 @@ class LineByLine:
         dwnstep = self.ownstep * ofactor
         if self.resolution_mode:
             # Linear interpolation onto the output wavenumbers
-            # (utils.h linterp):
+            # (utils.h linterp).  The C reads its calloc'ed ktmp rows
+            # past the dnwn populated values at the top edge, which
+            # deterministically yields zeros (rows have onwn capacity,
+            # _extcoeff.c:151); replicate with an explicit zero tail:
             ilo = ((self.wn - self.wn[0]) / dwnstep).astype(int)
-            ilo = np.clip(ilo, 0, dnwn - 2)
+            npad = max(int(ilo.max()) + 2 - dnwn, 0)
+            if npad:
+                ktmp = np.concatenate(
+                    [ktmp, np.zeros((ktmp.shape[0], npad))], axis=1,
+                )
             wnlo = self.wn[0] + dwnstep * ilo
             w_hi = (self.wn - wnlo) / dwnstep
             return (

@@ -162,7 +162,6 @@ class DirectLBL:
 
         # (hi, lo) float-pair splits keep dnu = nu - nu0 accurate when
         # everything downcasts to float32 on the TPU:
-        lwn_hi, lwn_lo = _split_hi_lo(self.lwn)
         wn_hi, wn_lo = _split_hi_lo(self.wn_tiles)
         wnc_hi, wnc_lo = _split_hi_lo(self.wn_tiles_core)
 
@@ -177,22 +176,29 @@ class DirectLBL:
         pf_grid_t = np.linspace(float(tlo), float(thi), n_pf)
         pf_dense = np.asarray(lbl.iso_pf(pf_grid_t), np.float64)
 
+        # Pre-pad all static line data into the per-tile window layout
+        # [ntiles, lmax] host-side: per-call factors are then computed
+        # directly in this layout and the device kernels perform ZERO
+        # gathers (per-tile gathers dominated the runtime of the
+        # gather-based design on TPU).
+        log_kbase = np.log(
+            pc.SIGCTE * self.iso_ratio[self.isoid] * self.gf,
+        )
+        wing_pad = self._pad_line_windows(
+            self.tile_starts, self.lmax, log_kbase,
+        )
+        core_pad = self._pad_line_windows(
+            self.starts_core, self.lmax_core, log_kbase,
+        )
+
         # Line data ships as jit arguments (a pytree), not closure
         # constants: multi-MB HLO literals stall remote compilation
         # and re-trace on every new engine instance.
         self._tables = {
-            'lwn': self.lwn,
-            'lwn_hi': lwn_hi,
-            'lwn_lo': lwn_lo,
-            'gf': self.gf,
-            'elow': self.elow,
-            'isoid': self.isoid,
             'wn_tiles_hi': wn_hi,
             'wn_tiles_lo': wn_lo,
             'wn_core_hi': wnc_hi,
             'wn_core_lo': wnc_lo,
-            'starts': self.tile_starts,
-            'starts_core': self.starts_core,
             'iso_mass': self.iso_mass,
             'iso_ratio': self.iso_ratio,
             'iso_spec': self.iso_spec,
@@ -200,8 +206,35 @@ class DirectLBL:
             'mol_mass': self.mol_mass,
             'iso_pf_grid': pf_dense,
         }
+        for key, val in wing_pad.items():
+            self._tables['w_' + key] = val
+        for key, val in core_pad.items():
+            self._tables['c_' + key] = val
         self._jit_cs = jax.jit(self._cross_section)
         self._device_tables = None
+
+    def _pad_line_windows(self, starts, lmax, log_kbase):
+        """Static per-tile line windows [ntiles, lmax] (host)."""
+        nlines = self.nlines
+        lwn = self.lwn
+        elow = self.elow
+        isoid = self.isoid
+        if nlines < lmax:
+            npad = lmax - nlines
+            # Fake far-away lines: distance masks always reject them.
+            lwn = np.concatenate([lwn, np.full(npad, self.wn[-1] + 1e9)])
+            elow = np.concatenate([elow, np.zeros(npad)])
+            isoid = np.concatenate([isoid, np.zeros(npad, np.int32)])
+            log_kbase = np.concatenate([log_kbase, np.full(npad, -700.0)])
+        idx = starts[:, None].astype(np.int64) + np.arange(lmax)[None, :]
+        lwn_hi, lwn_lo = _split_hi_lo(lwn[idx])
+        return {
+            'lwn_hi': lwn_hi,
+            'lwn_lo': lwn_lo,
+            'logkb': log_kbase[idx],
+            'elow': elow[idx],
+            'iso': isoid[idx],
+        }
 
     def _pad_tiles(self, tile, ntiles):
         # Pad with the last grid value: padded outputs are sliced off
@@ -244,39 +277,29 @@ class DirectLBL:
         )
         return alphal, fdop
 
-    def _line_factors(self, tables, temp, densities, iso_pf):
-        """Per-line arrays [nlines]: strength scale, inverse Doppler
-        width, Lorentz/Doppler ratio y, and the global strength max."""
-        alphal_iso, fdop_iso = self._layer_widths_t(
-            tables, temp, densities,
-        )
-        isoid = tables['isoid']
-        lwn = tables['lwn']
-
-        # Log-space line strengths, normalized by the global max:
+    def _window_factors(self, tables, prefix, temp, alphal_iso,
+                        fdop_iso, iso_pf):
+        """Per-call line factors in the padded [ntiles, lmax] layout:
+        (log_k, inv_ad, y2, y).  Only tiny [niso] gathers appear."""
+        iso = tables[prefix + 'iso']
+        lwn = tables[prefix + 'lwn_hi']   # f32 precision: fine for
+        elow = tables[prefix + 'elow']    # strengths and widths
         log_k = (
-            jnp.log(pc.SIGCTE * tables['iso_ratio'][isoid]
-                    * tables['gf'])
-            - pc.EXPCTE * tables['elow'] / temp
+            tables[prefix + 'logkb']
+            - pc.EXPCTE * elow / temp
             + jnp.log(-jnp.expm1(-pc.EXPCTE * lwn / temp))
-            - jnp.log(iso_pf[isoid])
+            - jnp.log(iso_pf)[iso]
         )
-        log_kmax = jnp.max(log_k)
-        weight = jnp.exp(log_k - log_kmax)      # in [0, 1]
-        kmax = jnp.exp(log_kmax)
+        alphad = fdop_iso[iso] * lwn * _SQRTLN2   # Doppler HWHM
+        inv_ad = _SQRTLN2 / alphad                # x = dnu * inv_ad
+        y = alphal_iso[iso] * inv_ad
+        return log_k, inv_ad, y
 
-        alphad = fdop_iso[isoid] * lwn * _SQRTLN2  # Doppler HWHM
-        inv_ad = _SQRTLN2 / alphad                 # x = dnu * inv_ad
-        y = alphal_iso[isoid] * inv_ad
-        # Voigt normalization folded into the strength:
-        scale = weight * inv_ad / _SQRT_PI
-        return scale, inv_ad, y, kmax
-
-    def _spec_contract(self, tables, contrib, idx):
+    def _spec_contract(self, tables, prefix, contrib, iso_row):
         """[tile, lmax] pair contributions -> [nspec, tile]."""
         if self.nspec == 1:
             return jnp.sum(contrib, axis=1)[None, :]
-        l_spec = tables['iso_spec'][tables['isoid'][idx]]
+        l_spec = tables['iso_spec'][iso_row]
         spec_onehot = (
             l_spec[None, :] == jnp.arange(self.nspec)[:, None]
         )
@@ -284,70 +307,81 @@ class DirectLBL:
             'wl,sl->sw', contrib, spec_onehot.astype(contrib.dtype),
         )
 
-    def _wing_tile(self, tables, scale, inv_ad, y, args):
+    def _wing_tile(self, tables, args):
         """Wing pass for one tile: 3-term asymptotic Re[w(z)],
-        masked to margin < |dnu| <= cutoff."""
-        wn_hi, wn_lo, start = args
-        idx = start + jnp.arange(self.lmax)
+        masked to margin < |dnu| <= cutoff.
+
+        Uses the real-arithmetic Horner form of
+        w(z) ~ i/(sqrt(pi) z)(1 + q/2 + 3 q^2/4), q = 1/z^2:
+            Re w = y u (1 + u(2a - 1/2) + u^2(12a^2 - 9a + 3/4))
+                   / sqrt(pi),   a = x^2 u,  u = 1/(x^2 + y^2).
+        """
+        wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, iso_row = args
         dwn = (
-            (wn_hi[:, None] - tables['lwn_hi'][idx][None, :])
-            + (wn_lo[:, None] - tables['lwn_lo'][idx][None, :])
+            (wn_hi[:, None] - lwn_hi[None, :])
+            + (wn_lo[:, None] - lwn_lo[None, :])
         )
-        s = scale[idx][None, :]
-        ia = inv_ad[idx][None, :]
-        yy = y[idx][None, :]
-        x = dwn * ia
-        x2 = x * x
-        y2 = yy * yy
-        u = 1.0 / (x2 + y2)
-        u2 = u * u
-        # w(z) ~ i/(sqrt(pi) z) (1 + q/2 + 3 q^2/4), q = 1/z^2:
-        q_re = (x2 - y2) * u2
-        q_im = -2.0 * x * yy * u2
-        s_re = 1.0 + 0.5 * q_re + 0.75 * (q_re * q_re - q_im * q_im)
-        s_im = q_im * (0.5 + 1.5 * q_re)
-        re_w = (yy * s_re - x * s_im) * u * (1.0 / _SQRT_PI)
+        x2 = (dwn * inv_ad[None, :])**2
+        u = 1.0 / (x2 + y2[None, :])
+        a = x2 * u
+        s = 1.0 + u * (2.0 * a - 0.5) \
+            + (u * u) * ((12.0 * a - 9.0) * a + 0.75)
         adwn = jnp.abs(dwn)
         mask = (adwn > self.margin) & (adwn <= self.cutoff)
-        contrib = jnp.where(mask, re_w * s, 0.0)
-        return self._spec_contract(tables, contrib, idx)
+        contrib = jnp.where(mask, c1[None, :] * u * s, 0.0)
+        return self._spec_contract(tables, 'w_', contrib, iso_row)
 
-    def _core_tile(self, tables, scale, inv_ad, y, args):
+    def _core_tile(self, tables, args):
         """Core pass for one tile: full Faddeeva, |dnu| <= margin."""
-        wn_hi, wn_lo, start = args
-        idx = start + jnp.arange(self.lmax_core)
+        wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad, iso_row = args
         dwn = (
-            (wn_hi[:, None] - tables['lwn_hi'][idx][None, :])
-            + (wn_lo[:, None] - tables['lwn_lo'][idx][None, :])
+            (wn_hi[:, None] - lwn_hi[None, :])
+            + (wn_lo[:, None] - lwn_lo[None, :])
         )
-        s = scale[idx][None, :]
-        ia = inv_ad[idx][None, :]
-        yy = jnp.broadcast_to(y[idx][None, :], dwn.shape)
-        x = dwn * ia
+        x = dwn * inv_ad[None, :]
+        yy = jnp.broadcast_to(y[None, :], x.shape)
         voigt = wofz_real(x, yy)
         mask = jnp.abs(dwn) <= self.margin
-        contrib = jnp.where(mask, voigt * s, 0.0)
-        return self._spec_contract(tables, contrib, idx)
+        contrib = jnp.where(mask, voigt * scale[None, :], 0.0)
+        return self._spec_contract(tables, 'c_', contrib, iso_row)
 
     def _cross_section(self, tables, temp, densities, iso_pf):
         """sigma [nspec, nwave] (cm2/molec) at one (T, densities) cell."""
         temp = jnp.asarray(temp)
-        scale, inv_ad, y, kmax = self._line_factors(
-            tables, temp, densities, iso_pf,
+        alphal_iso, fdop_iso = self._layer_widths_t(
+            tables, temp, densities,
         )
+        logk_w, inv_ad_w, y_w = self._window_factors(
+            tables, 'w_', temp, alphal_iso, fdop_iso, iso_pf,
+        )
+        logk_c, inv_ad_c, y_c = self._window_factors(
+            tables, 'c_', temp, alphal_iso, fdop_iso, iso_pf,
+        )
+        # Global strength normalization (float32-safe: weights in
+        # [0, 1], the common magnitude factored out):
+        log_kmax = jnp.maximum(jnp.max(logk_w), jnp.max(logk_c))
+        kmax = jnp.exp(log_kmax)
+        scale_w = jnp.exp(logk_w - log_kmax) * inv_ad_w / _SQRT_PI
+        scale_c = jnp.exp(logk_c - log_kmax) * inv_ad_c / _SQRT_PI
+        # Wing fold: contrib = Re[w]*scale with Re[w] = y u S / sqrt(pi)
+        # => c1 = y * scale / sqrt(pi):
+        c1_w = y_w * scale_w * (1.0 / _SQRT_PI)
+        y2_w = y_w * y_w
 
         # vmap (not lax.map/scan): the sequential-loop lowering stalls
         # the TPU compiler at scale, while the batched form fuses the
         # elementwise chain into the final contraction without
         # materializing the [ntiles, tile, lmax] intermediate.
         wing = jax.vmap(
-            lambda a: self._wing_tile(tables, scale, inv_ad, y, a),
+            lambda a: self._wing_tile(tables, a),
         )((tables['wn_tiles_hi'], tables['wn_tiles_lo'],
-           tables['starts']))
+           tables['w_lwn_hi'], tables['w_lwn_lo'],
+           c1_w, y2_w, inv_ad_w, tables['w_iso']))
         core = jax.vmap(
-            lambda a: self._core_tile(tables, scale, inv_ad, y, a),
+            lambda a: self._core_tile(tables, a),
         )((tables['wn_core_hi'], tables['wn_core_lo'],
-           tables['starts_core']))
+           tables['c_lwn_hi'], tables['c_lwn_lo'],
+           scale_c, y_c, inv_ad_c, tables['c_iso']))
 
         # [ntiles, nspec, tile] -> [nspec, nwave]:
         sigma = (

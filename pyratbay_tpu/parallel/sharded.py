@@ -174,26 +174,25 @@ def _shard_direct_lbl(engine, mesh, nshards):
     Tile rows are duplicated up to a shard multiple; the engine's
     flatten-and-slice ([:, :nwave]) discards the extra outputs.
     """
-    pads = {
-        'wn_tiles_hi': (-engine.ntiles) % nshards,
-        'wn_tiles_lo': (-engine.ntiles) % nshards,
-        'starts': (-engine.ntiles) % nshards,
-        'wn_core_hi': (-engine.ntiles_core) % nshards,
-        'wn_core_lo': (-engine.ntiles_core) % nshards,
-        'starts_core': (-engine.ntiles_core) % nshards,
-    }
+    pad_wing = (-engine.ntiles) % nshards
+    pad_core = (-engine.ntiles_core) % nshards
     sharded = {}
     for key, val in engine._tables.items():
-        if key in pads:
-            npad = pads[key]
-            if npad:
-                reps = [val[-1:]] * npad
-                val = np.concatenate([val] + reps, axis=0)
-            spec = P('wave', None) if val.ndim == 2 else P('wave')
-            sharding = NamedSharding(mesh, spec)
+        if key.startswith(('w_', 'wn_tiles_')):
+            npad = pad_wing
+        elif key.startswith(('c_', 'wn_core_')):
+            npad = pad_core
         else:
-            sharding = NamedSharding(mesh, P())
-        sharded[key] = jax.device_put(val, sharding)
+            sharded[key] = jax.device_put(
+                val, NamedSharding(mesh, P()),
+            )
+            continue
+        if npad:
+            reps = [val[-1:]] * npad
+            val = np.concatenate([val] + reps, axis=0)
+        sharded[key] = jax.device_put(
+            val, NamedSharding(mesh, P('wave', None)),
+        )
     engine._device_tables = sharded
 
 

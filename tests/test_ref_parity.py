@@ -1,0 +1,380 @@
+"""Live reference-vs-repo parity: run the reference implementation
+locally (tests/refrunner.py) on its shipped mock inputs and compare
+spectra/tables against this package at the reference's own tolerance
+(rtol = 1e-4, tests/test_transmission.py:39-40).
+
+This covers the golden variants whose stored expected files depend on
+non-shipped downloads (the 1.1-1.7 um HITRAN list): the full mock
+chain tli -> opacity table -> transmission/emission/eclipse spectra,
+with T/VMR models, sampling modes, and skip lists.
+"""
+import configparser
+import os
+
+import numpy as np
+import pytest
+
+import refrunner
+
+RTOL = 1e-4
+CACHE = os.path.join(refrunner.BUILD_DIR, 'cache')
+
+
+@pytest.fixture(scope='session')
+def ref_root():
+    dest = refrunner.build_reference()
+    if dest is None:
+        pytest.skip('reference build unavailable (no toolchain?)')
+    os.makedirs(CACHE, exist_ok=True)
+    return dest + '/'
+
+
+def _write_cfg(name, base, reset={}, remove=[]):
+    ini = configparser.ConfigParser()
+    ini.optionxform = str
+    ini.read(base)
+    for key, val in reset.items():
+        ini.set('pyrat', key, val)
+    for key in remove:
+        ini.remove_option('pyrat', key)
+    cfg_file = os.path.join(CACHE, name + '.cfg')
+    with open(cfg_file, 'w') as f:
+        ini.write(f)
+    return cfg_file
+
+
+def _ref_run(name, cfg_file, skip=None):
+    """Cached reference subprocess run."""
+    out_file = os.path.join(CACHE, name + '.npz')
+    if os.path.isfile(out_file):
+        return dict(np.load(out_file))
+    return refrunner.run_reference(cfg_file, out_file, skip=skip)
+
+
+@pytest.fixture(scope='session')
+def mock_tli(ref_root):
+    """Reference-compiled TLI from the mock HITRAN par file."""
+    tli = ref_root + 'tests/outputs/mock_H2O_1.00-1.01um.tli'
+    if not os.path.isfile(tli):
+        cfg = _write_cfg(
+            'tli', ref_root + 'tests/configs/tli_hitran_test.cfg',
+            reset={
+                'logfile': '{ROOT}tests/outputs/mock_tli.log',
+                'dblist': '{ROOT}tests/inputs/'
+                          'Mock_HITRAN_H2O_1.00-1.01um.par',
+                'tlifile': tli,
+            },
+        )
+        refrunner.run_reference(cfg, os.path.join(CACHE, 'tli.npz'))
+    return tli
+
+
+@pytest.fixture(scope='session')
+def mock_exttable(ref_root, mock_tli):
+    """Reference-tabulated cross sections on the mock wl range."""
+    ext = ref_root + 'tests/outputs/mock_exttable_300-3000K.npz'
+    if not os.path.isfile(ext):
+        cfg = _write_cfg(
+            'opacity', ref_root + 'tests/configs/opacity_test.cfg',
+            reset={
+                'logfile': '{ROOT}tests/outputs/mock_opacity.log',
+                'atmfile': '{ROOT}tests/inputs/atmosphere_uniform_test.atm',
+                'tlifile': mock_tli,
+                'sampled_cross_sec': ext,
+                'wl_low': '1.0 um',
+                'wl_high': '1.01 um',
+            },
+        )
+        refrunner.run_reference(cfg, os.path.join(CACHE, 'opacity.npz'))
+    return ext
+
+
+TRANSMISSION = '{}tests/configs/spectrum_transmission_test.cfg'
+EMISSION = '{}tests/configs/spectrum_emission_test.cfg'
+ECLIPSE = '{}tests/configs/spectrum_eclipse_test.cfg'
+MOCK_WL = {'wl_low': '1.0 um', 'wl_high': '1.01 um'}
+ALL_OPAC = ['sampled_cross_sec', 'continuum_cross_sec', 'alkali', 'clouds']
+
+
+def _compare(name, ref_root, base_cfg, reset={}, remove=[],
+             ref_skip=None, my_skip=(), rtol=RTOL):
+    """Run reference + repo on one mutated config; compare spectra."""
+    from pyratbay_tpu.model import Model
+    reset = {
+        'logfile': f'{{ROOT}}tests/outputs/{name}.log',
+        **MOCK_WL, **reset,
+    }
+    cfg = _write_cfg(
+        name, base_cfg.format(ref_root), reset=reset, remove=remove,
+    )
+    ref = _ref_run(
+        name if ref_skip is None else f'{name}_skip', cfg, skip=ref_skip,
+    )
+    model = Model(cfg, root=ref_root)
+    model.run(skip=my_skip)
+    assert model.nwave == len(ref['spectrum'])
+    np.testing.assert_allclose(
+        np.asarray(model.wn), ref['wn'], rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        model.spectrum, ref['spectrum'], rtol=rtol,
+    )
+    return model, ref
+
+
+# ---------------------------------------------------------------------
+# Opacity-table parity (tli -> tabulated cross sections):
+
+def test_ref_parity_opacity_table(ref_root, mock_tli, mock_exttable,
+                                  tmp_path):
+    """Repo-tabulated cross sections == reference exttable."""
+    from pyratbay_tpu.model import Model
+    from pyratbay_tpu.io import io as pio
+
+    _, ref_temps, ref_press, ref_wn = pio.read_opacity(
+        mock_exttable, extract='arrays',
+    )
+    ref_table = pio.read_opacity(mock_exttable, extract='opacity')
+
+    out = str(tmp_path / 'my_exttable.npz')
+    cfg = _write_cfg(
+        'opacity_mine', ref_root + 'tests/configs/opacity_test.cfg',
+        reset={
+            'logfile': '{ROOT}tests/outputs/mock_opacity_mine.log',
+            'atmfile': '{ROOT}tests/inputs/atmosphere_uniform_test.atm',
+            'tlifile': mock_tli,
+            'sampled_cross_sec': out,
+            **MOCK_WL,
+        },
+    )
+    model = Model(cfg, root=ref_root)
+    table = model.compute_opacity()
+    np.testing.assert_allclose(np.asarray(model.wn), ref_wn, rtol=1e-10)
+    # Compare where the opacity is significant (tiny absolute values
+    # below the ethresh pruning floor differ by design):
+    ref_t = np.asarray(ref_table)
+    floor = 1e-6 * ref_t.max(axis=(1, 2), keepdims=True)
+    strong = ref_t > floor
+    ratio = table[strong] / ref_t[strong]
+    assert np.quantile(np.abs(ratio - 1.0), 0.99) < 1e-4
+
+
+# ---------------------------------------------------------------------
+# Transmission variants:
+
+def test_ref_parity_transmission_tli(ref_root, mock_tli):
+    _compare(
+        'tr_tli', ref_root, TRANSMISSION,
+        reset={'tlifile': mock_tli},
+        remove=ALL_OPAC,
+    )
+
+
+def test_ref_parity_transmission_sampled_cs(ref_root, mock_exttable):
+    _compare(
+        'tr_ls', ref_root, TRANSMISSION,
+        reset={'sampled_cross_sec': mock_exttable},
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+def test_ref_parity_transmission_all(ref_root, mock_exttable):
+    """Every opacity source at once: ls + cia + alkali + clouds.
+    (The reference does not support table + tlifile simultaneously:
+    its table branch never builds the fine grid, spectrum.py:124-166.)
+    """
+    _compare(
+        'tr_all', ref_root, TRANSMISSION,
+        reset={'sampled_cross_sec': mock_exttable},
+    )
+
+
+def test_ref_parity_transmission_patchy(ref_root, mock_exttable):
+    _compare(
+        'tr_patchy', ref_root, TRANSMISSION,
+        reset={
+            'sampled_cross_sec': mock_exttable,
+            'fpatchy': '0.5',
+            'clouds': 'deck -3.0\nlecavelier 10.0 -15.0',
+        },
+    )
+
+
+def test_ref_parity_transmission_resolution(ref_root, mock_tli):
+    _compare(
+        'tr_res', ref_root, TRANSMISSION,
+        reset={'tlifile': mock_tli, 'resolution': '5000.0'},
+        remove=ALL_OPAC,
+    )
+
+
+def test_ref_parity_transmission_wl_step(ref_root, mock_exttable):
+    _compare(
+        'tr_wlstep', ref_root, TRANSMISSION,
+        reset={
+            'sampled_cross_sec': mock_exttable,
+            'wlstep': '1e-5 um',
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+def test_ref_parity_transmission_tmodel(ref_root, mock_exttable):
+    _compare(
+        'tr_tmodel', ref_root, TRANSMISSION,
+        reset={
+            'sampled_cross_sec': mock_exttable,
+            'tmodel': 'guillot',
+            'tpars': '-4.67 -0.8 -0.8 0.5 1486.0 100.0',
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+def test_ref_parity_transmission_vert(ref_root, mock_exttable):
+    _compare(
+        'tr_vert', ref_root, TRANSMISSION,
+        reset={
+            'sampled_cross_sec': mock_exttable,
+            'vmr_vars': 'log_H2O -5',
+            'bulk': 'H2 He',
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+def test_ref_parity_transmission_scale(ref_root, mock_exttable):
+    _compare(
+        'tr_scale', ref_root, TRANSMISSION,
+        reset={
+            'sampled_cross_sec': mock_exttable,
+            'vmr_vars': 'scale_H2O -1.0',
+            'bulk': 'H2 He',
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+SKIPS = [
+    'line_sample', 'cia', 'alkali', 'deck', 'lecavelier', 'H2O',
+]
+
+
+@pytest.mark.parametrize('skip', SKIPS)
+def test_ref_parity_transmission_skip(ref_root, mock_exttable, skip):
+    _compare(
+        f'tr_skip_{skip}', ref_root, TRANSMISSION,
+        reset={'sampled_cross_sec': mock_exttable},
+        ref_skip=[skip], my_skip=(skip,),
+    )
+
+
+def test_ref_parity_transmission_skip_lbl(ref_root, mock_tli):
+    _compare(
+        'tr_skip_lbl', ref_root, TRANSMISSION,
+        reset={'tlifile': mock_tli},
+        remove=['sampled_cross_sec'],
+        ref_skip=['lbl'], my_skip=('lbl',),
+    )
+
+
+# ---------------------------------------------------------------------
+# Emission variants:
+
+def test_ref_parity_emission_sampled_cs(ref_root, mock_exttable):
+    _compare(
+        'em_ls', ref_root, EMISSION,
+        reset={'sampled_cross_sec': mock_exttable},
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+def test_ref_parity_emission_all(ref_root, mock_exttable):
+    _compare(
+        'em_all', ref_root, EMISSION,
+        reset={'sampled_cross_sec': mock_exttable},
+    )
+
+
+def test_ref_parity_emission_tmodel(ref_root, mock_exttable):
+    _compare(
+        'em_tmodel', ref_root, EMISSION,
+        reset={
+            'sampled_cross_sec': mock_exttable,
+            'tmodel': 'guillot',
+            'tpars': '-4.67 -0.8 -0.8 0.5 1486.0 100.0',
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+def test_ref_parity_emission_vert(ref_root, mock_exttable):
+    _compare(
+        'em_vert', ref_root, EMISSION,
+        reset={
+            'sampled_cross_sec': mock_exttable,
+            'vmr_vars': 'log_H2O -5',
+            'bulk': 'H2 He',
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+def test_ref_parity_emission_quadrature(ref_root, mock_exttable):
+    _compare(
+        'em_quad', ref_root, EMISSION,
+        reset={
+            'sampled_cross_sec': mock_exttable,
+            'quadrature': '5',
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+def test_ref_parity_emission_two_stream(ref_root, mock_exttable):
+    _compare(
+        'em_2s', ref_root, EMISSION,
+        reset={
+            'sampled_cross_sec': mock_exttable,
+            'rt_path': 'emission_two_stream',
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+def test_ref_parity_emission_resolution(ref_root, mock_tli):
+    _compare(
+        'em_res', ref_root, EMISSION,
+        reset={'tlifile': mock_tli, 'resolution': '5000.0'},
+        remove=ALL_OPAC,
+    )
+
+
+# ---------------------------------------------------------------------
+# Eclipse variants:
+
+def test_ref_parity_eclipse_sampled_cs(ref_root, mock_exttable):
+    _compare(
+        'ec_ls', ref_root, ECLIPSE,
+        reset={'sampled_cross_sec': mock_exttable},
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+
+
+def test_ref_parity_eclipse_all(ref_root, mock_exttable):
+    _compare(
+        'ec_all', ref_root, ECLIPSE,
+        reset={'sampled_cross_sec': mock_exttable},
+    )
+
+
+def test_ref_parity_eclipse_tmodel(ref_root, mock_exttable):
+    _compare(
+        'ec_tmodel', ref_root, ECLIPSE,
+        reset={
+            'sampled_cross_sec': mock_exttable,
+            'tmodel': 'guillot',
+            'tpars': '-4.67 -0.8 -0.8 0.5 1486.0 100.0',
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
