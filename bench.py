@@ -1,7 +1,7 @@
 """Benchmark driver: flagship forward-model throughput on this chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Workload (BASELINE.json config 1): HD 209458 b-like transmission
 retrieval forward -- line-sampled H2O + H2-H2 CIA + Na alkali +
@@ -13,6 +13,24 @@ CIA interp + per-impact-parameter optdepth + transmission integral,
 gcc -O3 -ffast-math, same shapes) timed on this host, scaled by the
 host core count (the reference parallelizes chains over cores with
 multiprocessing).
+
+Timing methodology: on the axon TPU tunnel, block_until_ready() can
+return before the device finishes and a per-call host sync costs a
+~25 ms round trip, so every rate here is measured as N pipelined
+dispatches followed by ONE device-to-host fetch, divided by N --
+the sustained device throughput.
+
+Secondary metrics:
+  * lbl_line_pairs_per_s -- DirectLBL (point, line)-pair rate over a
+    50k-line synthetic list at the flagship grid (pairs counted over
+    the full cutoff window, the same definition as round 1), with
+    cells batched 8-per-program as in real tabulation;
+  * lbl_grid_points_per_s -- wavenumber points sampled per second in
+    the same workload;
+  * tabulation_points_per_s -- DirectLBL.tabulate() (T, layer, wave)
+    grid points per second (the runmode=opacity workload);
+  * highres_spectra_per_s -- forward throughput at R = 25,000
+    (~10,900 wavenumbers), batch 64.
 """
 import json
 import os
@@ -20,6 +38,22 @@ import sys
 import time
 
 import numpy as np
+
+
+def _sync(x):
+    """Force a real device->host sync (see module docstring)."""
+    return np.asarray(x)
+
+
+def _rate(fn, n_iter):
+    """Sustained rate: pipelined dispatches + one final fetch."""
+    _sync(fn())  # warm-up / compile
+    start = time.perf_counter()
+    out = None
+    for _ in range(n_iter):
+        out = fn()
+    _sync(out)
+    return (time.perf_counter() - start) / n_iter
 
 
 def main():
@@ -36,14 +70,12 @@ def main():
 
     batched = jax.jit(jax.vmap(lambda p: forward(p)['bandflux']))
     rng = np.random.default_rng(0)
-    params = (
+    params = jnp.asarray((
         np.tile(p0, (batch, 1))
         + 0.01 * rng.standard_normal((batch, len(p0)))
-    ).astype(np.float32)
+    ).astype(np.float32))
 
-    result = batched(params)
-    result.block_until_ready()
-    sample = np.asarray(result)
+    sample = _sync(batched(params))
     if not np.all(np.isfinite(sample)):
         print(json.dumps({
             'metric': 'forward-model throughput',
@@ -54,10 +86,7 @@ def main():
         }))
         return 1
 
-    start = time.perf_counter()
-    for _ in range(n_iter):
-        batched(params).block_until_ready()
-    elapsed = (time.perf_counter() - start) / n_iter
+    elapsed = _rate(lambda: batched(params), n_iter)
     spectra_per_s = batch / elapsed
 
     # Reference C baseline (per host core x core count):
@@ -67,18 +96,20 @@ def main():
         base_core = None
     ncores = os.cpu_count() or 1
     vs_baseline = None
-    baseline_total = None
     if base_core is not None:
-        baseline_total = base_core * ncores
-        vs_baseline = spectra_per_s / baseline_total
+        vs_baseline = spectra_per_s / (base_core * ncores)
 
-    # Secondary metric: direct line-by-line sampling throughput
-    # (the LBL kernel over a 50k-line synthetic list):
-    lbl_pairs_per_s = lbl_points_per_s = None
+    extras = {}
+    # Secondary: direct line-by-line sampling + tabulation throughput:
     try:
-        lbl_pairs_per_s, lbl_points_per_s = _lbl_kernel_rate()
-    except Exception:
-        pass
+        extras.update(_lbl_rates())
+    except Exception as exc:
+        extras['lbl_error'] = f'{type(exc).__name__}: {exc}'[:120]
+    # Secondary: high-resolution forward model (R = 25,000):
+    try:
+        extras.update(_highres_rate())
+    except Exception as exc:
+        extras['highres_error'] = f'{type(exc).__name__}: {exc}'[:120]
 
     print(json.dumps({
         'metric': f'forward-model throughput ({backend}, batch={batch}, '
@@ -92,21 +123,14 @@ def main():
             None if base_core is None else round(base_core, 1)
         ),
         'baseline_cores': ncores,
-        'lbl_line_pairs_per_s': lbl_pairs_per_s,
-        'lbl_grid_points_per_s': lbl_points_per_s,
         'single_chip': True,
+        **extras,
     }))
     return 0
 
 
-def _lbl_kernel_rate(nlines=50_000, n_iter=10):
-    """Direct-Voigt LBL sampling rate on this chip (pairs/s, points/s)."""
-    import time as _time
-    import jax
-    import jax.numpy as jnp
-    from pyratbay_tpu.opacity.lbl_tpu import DirectLBL
-
-    rng = np.random.default_rng(0)
+def _synthetic_lines(nlines=50_000, seed=0):
+    rng = np.random.default_rng(seed)
 
     class _Lines:
         wn = np.arange(5882.0, 9091.0, 1.0)
@@ -125,33 +149,85 @@ def _lbl_kernel_rate(nlines=50_000, n_iter=10):
             [2.016, 4.003, 1.008, 22.99, 39.098, 18.015, 16.04, 28.01,
              44.01])
         cutoff = 25.0
+        tmin = 100.0
+        tmax = 3000.0
 
         @staticmethod
         def iso_pf(t):
             t = np.atleast_1d(t)
             return np.tile(174.0 * (t / 296.0)**1.5, (4, 1))
 
-    lines = _Lines()
+    return _Lines()
+
+
+def _lbl_rates(n_iter=10, block=8):
+    """DirectLBL pair rate (8-cell blocks, the tabulation workload)
+    plus full tabulate() throughput."""
+    import jax
+    import jax.numpy as jnp
+    from pyratbay_tpu.opacity.lbl_tpu import DirectLBL
+
+    lines = _synthetic_lines()
     direct = DirectLBL(lines, tile=128)
-    temp = 1400.0
+    rng = np.random.default_rng(1)
+    temps = np.linspace(700.0, 2900.0, block)
     vmr = np.array([0.85, 0.149, 1e-6, 3e-6, 5e-8, 4e-4, 1e-4, 5e-4,
                     1e-7])
-    dens = vmr * 1.01e6 / (1.380649e-16 * temp)
-    pf0 = lines.iso_pf(temp)[:, 0]
+    dens = vmr[None, :] * (
+        np.logspace(-4, 1, block)[:, None] * 1.01e6
+        / (1.380649e-16 * temps[:, None])
+    )
+    pf = lines.iso_pf(temps).T
+
+    batched = jax.jit(jax.vmap(
+        direct._cross_section, in_axes=(None, 0, 0, 0),
+    ))
     args = (
         direct.tables(),
-        jnp.asarray(temp, jnp.float32),
+        jnp.asarray(temps, jnp.float32),
         jnp.asarray(dens, jnp.float32),
-        jnp.asarray(pf0, jnp.float32),
+        jnp.asarray(pf, jnp.float32),
     )
-    for _ in range(2):
-        direct._jit_cs(*args).block_until_ready()
-    start = _time.perf_counter()
-    for _ in range(n_iter):
-        direct._jit_cs(*args).block_until_ready()
-    dt = (_time.perf_counter() - start) / n_iter
-    pairs = direct.ntiles * direct.tile * direct.lmax
-    return round(pairs / dt / 1e9, 2), round(direct.nwave / dt, 1)
+    dt = _rate(lambda: batched(*args), n_iter)
+    pairs = direct.ntiles * direct.tile * direct.lmax * block
+    rates = {
+        'lbl_line_pairs_per_s': round(pairs / dt / 1e9, 2),
+        'lbl_grid_points_per_s': round(block * direct.nwave / dt, 1),
+    }
+
+    # Full opacity-tabulation throughput (10 T x 51 layers):
+    press = np.logspace(-6, 2, 51)
+    tab_temps = np.linspace(300.0, 3000.0, 10)
+    vmr_prof = np.tile(vmr, (51, 1))
+    start = time.perf_counter()
+    table = direct.tabulate(tab_temps, press, vmr_prof)
+    dt_tab = time.perf_counter() - start
+    npoints = table.size
+    rates['tabulation_points_per_s'] = round(npoints / dt_tab, 1)
+    rates['tabulation_seconds'] = round(dt_tab, 2)
+    return rates
+
+
+def _highres_rate(n_iter=5, batch=64):
+    """Flagship forward at R = 25,000 (realistic high-res grid)."""
+    import jax
+    import jax.numpy as jnp
+    from pyratbay_tpu.benchmark import make_flagship
+
+    model, obs, ret, forward, p0 = make_flagship(
+        wnstep=None, resolution=25000.0,
+    )
+    batched = jax.jit(jax.vmap(lambda p: forward(p)['bandflux']))
+    rng = np.random.default_rng(2)
+    params = jnp.asarray((
+        np.tile(p0, (batch, 1))
+        + 0.01 * rng.standard_normal((batch, len(p0)))
+    ).astype(np.float32))
+    dt = _rate(lambda: batched(params), n_iter)
+    return {
+        'highres_spectra_per_s': round(batch / dt, 1),
+        'highres_nwave': model.nwave,
+    }
 
 
 if __name__ == '__main__':

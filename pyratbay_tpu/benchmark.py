@@ -65,9 +65,11 @@ def _synthetic_cia_table(path, species=('H2', 'H2'), seed=7):
 
 
 def make_flagship(workdir=None, nlayers=51, wl_low=1.1, wl_high=1.7,
-                  wnstep=1.0):
+                  wnstep=1.0, resolution=None):
     """Build the flagship transmission model + retrieval forward.
 
+    Sampling: constant-dnu `wnstep` (default), or constant-R
+    `resolution` when given (wnstep ignored).
     Returns (model, obs, ret, forward_fn, example_params).
     """
     import jax
@@ -90,12 +92,26 @@ def make_flagship(workdir=None, nlayers=51, wl_low=1.1, wl_high=1.7,
     atmfile = os.path.join(workdir, 'flagship.atm')
     pio.write_atm(atmfile, press, temp, species, vmr, punits='bar')
 
-    wn = np.arange(1.0 / (wl_high * 1e-4), 1.0 / (wl_low * 1e-4), wnstep)
+    if resolution is not None:
+        # Constant-R geometric grid (spec_tools.py:461-505 semantics):
+        from .ops.grids import wavenumber_grid
+        wn = np.asarray(wavenumber_grid(
+            wnlow=1.0 / (wl_high * 1e-4), wnhigh=1.0 / (wl_low * 1e-4),
+            resolution=resolution,
+        ).wn)
+    else:
+        wn = np.arange(
+            1.0 / (wl_high * 1e-4), 1.0 / (wl_low * 1e-4), wnstep,
+        )
     cs_file = os.path.join(workdir, 'flagship_h2o.npz')
     _synthetic_cs_table(cs_file, wn, press)
     cia_file = os.path.join(workdir, 'flagship_cia.dat')
     _synthetic_cia_table(cia_file)
 
+    sampling_key = (
+        f'resolution = {resolution}' if resolution is not None
+        else f'wnstep = {wnstep}'
+    )
     cfg_text = f"""[pyrat]
 runmode = spectrum
 logfile = {workdir}/flagship.log
@@ -105,7 +121,7 @@ sampled_cross_sec = {cs_file}
 continuum_cross_sec = {cia_file}
 wl_low = {wl_low} um
 wl_high = {wl_high} um
-wnstep = {wnstep}
+{sampling_key}
 rstar = 1.27 rsun
 tstar = 5800.0
 smaxis = 0.045 au
