@@ -13,12 +13,12 @@ from .model import Model
 __all__ = ['run']
 
 
-def run(cfile, root=None):
+def run(cfile, root=None, with_log=True):
     """Execute a run mode from a configuration file.
 
     Returns the Model (spectrum/opacity/retrieval/radeq modes), the
     TLI summary list (tli mode), or the atmosphere tuple (atmosphere
-    mode).
+    mode).  with_log=False suppresses the log file (screen only).
     """
     cfg = cfg_parser.parse(cfile, root=root)
     runmode = cfg.runmode
@@ -27,6 +27,29 @@ def run(cfile, root=None):
     # set; parallel/distributed.py):
     from .parallel.distributed import initialize_distributed
     initialize_distributed(cfg)
+
+    # Run log: screen + file tee, rank-0 only (logger.Log):
+    from .logger import Log
+    from .version import __version__
+    logname = cfg.logfile if with_log else None
+    try:
+        log = Log(
+            logname=logname,
+            verb=cfg.verb if cfg.verb is not None else 2,
+            append=bool(cfg.resume),
+        )
+    except OSError:
+        log = Log(verb=cfg.verb if cfg.verb is not None else 2)
+        log.warning(f'Could not open log file {logname!r}')
+    log.head(
+        f"{log.sep}\n  pyratbay_tpu v{__version__}: TPU-native "
+        f"radiative transfer in a Bayesian framework\n"
+        f"  Run mode: {runmode}\n  Config: {cfile}\n{log.sep}"
+    )
+    return _dispatch(cfg, runmode, root, log)
+
+
+def _dispatch(cfg, runmode, root, log):
 
     if runmode == 'tli':
         from .opacity.tli import make_tli
@@ -42,7 +65,7 @@ def run(cfile, root=None):
         )
 
     if runmode == 'atmosphere':
-        model = Model(cfg, root=root)
+        model = Model(cfg, root=root, log=log)
         temp = np.asarray(model.eval_temp())
         vmr = model.base_vmr
         radius = None
@@ -57,10 +80,11 @@ def run(cfile, root=None):
             )
         return model
 
-    model = Model(cfg, root=root)
+    model = Model(cfg, root=root, log=log)
 
     if runmode == 'opacity':
         model.compute_opacity()
+        log.summary(model.timestamps)
         return model
 
     if runmode == 'spectrum':
@@ -74,6 +98,7 @@ def run(cfile, root=None):
             else:
                 spec_type = 'eclipse'
             pio.write_spectrum(wl, model.spectrum, cfg.specfile, spec_type)
+        log.summary(model.timestamps)
         return model
 
     if runmode == 'radeq':
@@ -84,6 +109,7 @@ def run(cfile, root=None):
     if runmode == 'retrieval':
         from .retrieval.driver import run_retrieval
         run_retrieval(model)
+        log.summary(model.timestamps)
         return model
 
     raise ValueError(f"Invalid runmode '{runmode}'")

@@ -34,23 +34,60 @@ __all__ = ['Model']
 class Model:
     """Forward spectroscopic model assembled from a configuration."""
 
-    def __init__(self, cfg, root=None):
+    def __init__(self, cfg, root=None, log=None):
         if isinstance(cfg, str):
             cfg = cfg_parser.parse(cfg, root=root)
         self.cfg = cfg
         self.rt_path = cfg.rt_path
         self.maxdepth = cfg.maxdepth
 
+        # Screen-only log by default; the driver passes a file-backed
+        # one (reference: mc3.utils.Log threaded everywhere):
+        if log is None:
+            from .logger import Log
+            log = Log(verb=cfg.verb if cfg.verb is not None else 1)
+        self.log = log
+
+        from .tools import Timer
+        timer = Timer()
+        self.timestamps = {}
         self._setup_spectrum()
+        self.timestamps['setup spectrum'] = timer.clock()
         self._setup_atmosphere()
+        self.timestamps['setup atmosphere'] = timer.clock()
         self._setup_star()
         self._setup_opacity()
+        self.timestamps['setup opacity'] = timer.clock()
         self._setup_quadrature()
+        self._log_setup_summary()
 
         # Results from the last run():
         self.spectrum = None
         self.depth = None
         self.ideep = None
+
+    def _log_setup_summary(self):
+        log = self.log
+        log.head(f'Run mode: {self.cfg.runmode} ({self.rt_path})')
+        if self.wn is not None:
+            log.msg(
+                f'Wavenumber grid: {float(self.wn[0]):.3f} -- '
+                f'{float(self.wn[-1]):.3f} cm-1 ({self.nwave} samples)'
+            )
+        log.msg(
+            f'Pressure grid: {float(self.press[0]):.2e} -- '
+            f'{float(self.press[-1]):.2e} bar ({self.nlayers} layers)'
+        )
+        if self.species is not None:
+            log.msg(f'Species: {" ".join(self.species)}')
+        for mtype, opac_model, _ in self.opacity_models:
+            bounds = ''
+            if mtype in self.tmin:
+                bounds = (
+                    f'  T in [{self.tmin[mtype]:.1f}, '
+                    f'{self.tmax[mtype]:.1f}] K'
+                )
+            log.msg(f'Opacity: {opac_model.name} ({mtype}){bounds}')
 
     # ------------------------------------------------------------------
     # Setup
@@ -901,7 +938,8 @@ class Model:
         .spectrum/.depth/.ideep."""
         from .tools import Timer
         timer = Timer()
-        self.timestamps = {}
+        if not hasattr(self, 'timestamps'):
+            self.timestamps = {}
         temp = self.eval_temp(tpars) if temp is None else jnp.asarray(temp)
 
         # Out-of-bounds temperature rejection (reference run():189-200):
@@ -962,6 +1000,14 @@ class Model:
         self.temp = np.asarray(temp)
         self.radius = None if radius is None else np.asarray(radius)
         self.vmr = np.asarray(vmr)
+        self.log.msg(
+            'Forward model done: '
+            + ', '.join(
+                f'{key} {val:.3f}s' for key, val in
+                self.timestamps.items()
+                if key in ('atmosphere', 'extinction', 'spectrum')
+            )
+        )
         return result
 
 

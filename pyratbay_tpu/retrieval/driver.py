@@ -70,7 +70,33 @@ def run_retrieval(model, seed=0):
     # "Number of burn-in samples per chain"); one DEMC generation
     # advances every chain by one sample, so generations == burnin:
     burnin_gens = int(ret.burnin or 0)
+    log = model.log
+    if log.logname is None and cfg.logfile is not None:
+        # Direct API calls (not via driver.run): open the file log now.
+        from ..logger import Log
+        try:
+            log = Log(
+                logname=cfg.logfile,
+                verb=log.verb, append=bool(cfg.resume),
+            )
+            model.log = log
+        except OSError:
+            pass
 
+    # Periodic chain checkpoints + resume (the reference's
+    # dt_retrieval_snapshot / resume, tools/retrieval_tools.py:81-170):
+    checkpoint_file = None
+    if cfg.logfile is not None and (
+            cfg.dt_retrieval_snapshot is not None or cfg.resume):
+        checkpoint_file = (
+            os.path.splitext(cfg.logfile)[0] + '_checkpoint.npz'
+        )
+
+    log.head(
+        f'Retrieval: {len(ret.ifree)} free parameters, {nchains} '
+        f'chains, {nsamples} samples ({ret.sampler or "snooker"} '
+        'sampler)'
+    )
     if ret.sampler == 'multinest':
         results = _run_nested(model, obs, ret, log_post, seed)
     else:
@@ -84,6 +110,10 @@ def run_retrieval(model, seed=0):
             pmin=ret.pmin,
             pmax=ret.pmax,
             burnin=burnin_gens,
+            checkpoint_file=checkpoint_file,
+            checkpoint_dt=cfg.dt_retrieval_snapshot,
+            resume=bool(cfg.resume),
+            log=log,
         )
 
     model.ret = ret
@@ -127,4 +157,139 @@ def run_retrieval(model, seed=0):
             data=obs.data,
             uncert=obs.uncert,
         )
+        log.msg(f'Posterior saved to {outfile}')
+
+    log.msg(
+        f'Acceptance rate: {model.acceptance_rate:.3f}; best '
+        f'log-posterior: {model.best_log_post:.2f}'
+    )
+    if hasattr(model, 'grfactor'):
+        log.msg(
+            'Gelman-Rubin: '
+            + ' '.join(f'{g:.4f}' for g in np.atleast_1d(model.grfactor))
+        )
+    try:
+        post_process(model, obs, ret, forward, results)
+    except Exception as exc:
+        log.warning(f'Retrieval post-processing failed: {exc}')
     return results
+
+
+def post_process(model, obs, ret, forward, results):
+    """Retrieval outputs: temperature-profile posterior envelopes,
+    spectrum credible envelopes, posterior median atmosphere dump, and
+    summary plots (reference pyrat/pyrat_obj.py:478-556).
+    """
+    from .posterior import (
+        marginal_statistics, spectrum_posterior, temperature_posterior,
+    )
+    from ..io import io as pio
+
+    cfg = model.cfg
+    log = model.log
+    if cfg.logfile is None:
+        return
+    base = os.path.splitext(cfg.logfile)[0]
+    posterior = model.posterior
+    ifree = np.asarray(ret.ifree)
+
+    # Marginal statistics per free parameter:
+    stats = marginal_statistics(posterior[:, ifree])
+    for j, i in enumerate(ifree):
+        log.msg(
+            f'  {ret.pnames[i]:16s} = {stats[1, j]:.4e} '
+            f'+{stats[2, j] - stats[1, j]:.3e} '
+            f'-{stats[1, j] - stats[0, j]:.3e}'
+        )
+
+    # Temperature-profile posterior envelope:
+    tpost = None
+    if ret.itemp and model.temp_model is not None:
+        tpars_draws = posterior[:, np.asarray(ret.itemp)]
+        base_tpars = np.asarray(
+            model.tpars if model.tpars is not None
+            else np.zeros(len(ret.map_temp)),
+        )
+        slots = np.asarray(ret.map_temp)
+
+        def tmodel_fn(draw):
+            import jax.numpy as jnp
+            pars = jnp.asarray(base_tpars).at[slots].set(draw)
+            return model.temp_model(pars)
+
+        # Thin for tractability:
+        draws = tpars_draws[:: max(1, len(tpars_draws) // 2000)]
+        tpost = temperature_posterior(draws, tmodel_fn)
+        np.savez(
+            base + '_temperature_posterior.npz',
+            press=model.press, median=tpost[0],
+            low1=tpost[1], high1=tpost[2],
+            low2=tpost[3], high2=tpost[4],
+        )
+
+    # Spectrum credible envelope:
+    spost = None
+    try:
+        spost = spectrum_posterior(
+            posterior[:: max(1, len(posterior) // 256)],
+            lambda p: forward(p)['spectrum'],
+            max_draws=128,
+        )
+        np.savez(
+            base + '_spectrum_posterior.npz',
+            wn=np.asarray(model.wn), median=spost[0],
+            low1=spost[1], high1=spost[2], low2=spost[3],
+            high2=spost[4], spec_best=model.spec_best,
+        )
+    except Exception as exc:
+        log.warning(f'Spectrum posterior failed: {exc}')
+
+    # Posterior-median atmosphere dump (.atm):
+    try:
+        medianp = np.asarray(results['posterior']).copy()
+        med = np.median(medianp, axis=0)
+        out = forward(med)
+        temp = np.asarray(out['temperature'])
+        vmr = np.asarray(model.eval_vmr(temp=temp))
+        pio.write_atm(
+            base + '_median.atm', model.press, temp, model.species,
+            vmr, punits='bar',
+        )
+    except Exception as exc:
+        log.warning(f'Posterior atmosphere dump failed: {exc}')
+
+    # Plots (headless-safe):
+    try:
+        import matplotlib
+        matplotlib.use('Agg')
+        from .. import plots
+
+        from .. import constants as pc
+        wl = 1.0 / (np.asarray(model.wn) * pc.um)
+        band_wl = obs.band_wl
+        rt_key = (
+            'transit' if model.rt_path in pc.TRANSMISSION_RT else
+            'eclipse' if model.rt_path in pc.ECLIPSE_RT else 'emission'
+        )
+        plots.spectrum(
+            model.spec_best, wl,
+            data=obs.data, uncert=obs.uncert, band_wl=band_wl,
+            bandflux=model.bandflux_best,
+            rt_path=rt_key,
+            filename=base + '_bestfit_spectrum.png',
+        )
+        plots.posteriors(
+            posterior[:, ifree],
+            pnames=[ret.pnames[i] for i in ifree],
+            bestp=model.bestp[ifree],
+            filename=base + '_posteriors.png',
+        )
+        if tpost is not None:
+            plots.temperature(
+                model.press, profiles=[tpost[0]],
+                bounds=(tpost[1], tpost[2], tpost[3], tpost[4]),
+                filename=base + '_temperature.png',
+            )
+        log.msg(f'Plots written to {base}_*.png')
+    except Exception as exc:
+        log.warning(f'Plotting failed: {exc}')

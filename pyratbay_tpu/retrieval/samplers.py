@@ -70,6 +70,8 @@ def sample_demc(
         log_post, init_params, nsamples, key=None, nchains=None,
         pstep=None, pmin=None, pmax=None,
         snooker_fraction=0.1, thin=1, burnin=0,
+        checkpoint_file=None, checkpoint_dt=None, resume=False,
+        chunk_gens=None, log=None,
     ):
     """Run snooker-DEMC over a vmapped ensemble.
 
@@ -81,10 +83,19 @@ def sample_demc(
     nsamples: total number of posterior draws (nchains * ngen).
     pstep: per-parameter scale (0 = fixed); used for initialization
         jitter and proposal noise.
+    checkpoint_file: npz path for periodic chain-state checkpoints
+        (written every checkpoint_dt seconds, default 600; the analog
+        of the reference's dt_retrieval_snapshot,
+        tools/retrieval_tools.py:81-170).
+    resume: continue from checkpoint_file if it exists.
+    chunk_gens: generations per jitted scan chunk (default: sized so
+        checkpoints are possible; one chunk when no checkpointing).
 
     Returns dict with 'posterior' [nkept, npars], 'log_post' [nkept],
     'chains' (final state), 'acceptance_rate', 'bestp', 'best_log_post'.
     """
+    import os
+    import time
     if key is None:
         key = random.PRNGKey(0)
     init_params = jnp.atleast_2d(jnp.asarray(init_params, jnp.float64))
@@ -119,9 +130,24 @@ def sample_demc(
     ) if pstep is not None else 1e-6
 
     vmapped_logpost = jax.vmap(log_post)
-    logp = vmapped_logpost(chains)
 
     ngen = int(np.ceil(nsamples / nchains))
+    igen0 = 0
+    hist0 = []
+    if resume and checkpoint_file is not None \
+            and os.path.isfile(checkpoint_file):
+        ckpt = np.load(checkpoint_file)
+        chains = jnp.asarray(ckpt['chains'])
+        igen0 = int(ckpt['igen'])
+        hist0 = [(
+            ckpt['hist_chains'], ckpt['hist_logp'], ckpt['hist_accept'],
+        )]
+        if log is not None:
+            log.msg(
+                f'Resuming retrieval from {checkpoint_file} at '
+                f'generation {igen0}/{ngen}'
+            )
+    logp = vmapped_logpost(chains)
 
     def generation(state, inputs):
         chains, logp = state
@@ -150,11 +176,52 @@ def sample_demc(
         new_logp = jnp.where(accept, logp_prop, logp)
         return (new_chains, new_logp), (new_chains, new_logp, accept)
 
+    # Chunked scanning: each chunk is one jitted lax.scan; between
+    # chunks the host can checkpoint the chain state (resume support):
+    if chunk_gens is None:
+        chunk_gens = ngen if checkpoint_file is None \
+            else max(1, min(200, ngen))
+    scan_chunk = jax.jit(lambda carry, xs: lax.scan(
+        generation, carry, xs,
+    ))
     keys = random.split(key, ngen)
     gen_ids = jnp.arange(ngen)
-    (chains, logp), (hist_chains, hist_logp, hist_accept) = lax.scan(
-        generation, (chains, logp), (keys, gen_ids),
-    )
+    hist_parts = list(hist0)
+    carry = (chains, logp)
+    t_last = time.time()
+    dt_ckpt = checkpoint_dt if checkpoint_dt is not None else 600.0
+    igen = igen0
+    while igen < ngen:
+        hi = min(igen + chunk_gens, ngen)
+        carry, (h_c, h_l, h_a) = scan_chunk(
+            carry, (keys[igen:hi], gen_ids[igen:hi]),
+        )
+        hist_parts.append((
+            np.asarray(h_c), np.asarray(h_l), np.asarray(h_a),
+        ))
+        igen = hi
+        if checkpoint_file is not None and (
+                time.time() - t_last > dt_ckpt or igen == ngen):
+            np.savez(
+                checkpoint_file,
+                chains=np.asarray(carry[0]),
+                igen=igen,
+                hist_chains=np.concatenate(
+                    [h[0] for h in hist_parts]),
+                hist_logp=np.concatenate([h[1] for h in hist_parts]),
+                hist_accept=np.concatenate(
+                    [h[2] for h in hist_parts]),
+            )
+            t_last = time.time()
+            if log is not None:
+                log.msg(
+                    f'Checkpoint at generation {igen}/{ngen} '
+                    f'-> {checkpoint_file}'
+                )
+    chains, logp = carry
+    hist_chains = np.concatenate([h[0] for h in hist_parts])
+    hist_logp = np.concatenate([h[1] for h in hist_parts])
+    hist_accept = np.concatenate([h[2] for h in hist_parts])
 
     kept = hist_chains[burnin::thin]
     kept_logp = hist_logp[burnin::thin]

@@ -167,3 +167,54 @@ def test_demc_retrieval_recovers_truth(retrieval_setup):
     history = np.asarray(results['chain_history'])[300:]
     gr = np.asarray(gelman_rubin(history))
     assert np.all(gr[np.asarray(ret.pstep) > 0] < 1.5)
+
+
+@requires_reference
+def test_run_retrieval_end_to_end(tmp_path):
+    """Full driver retrieval: outputs, checkpoint/resume, and
+    post-processing artifacts (plots, posterior envelopes, .atm)."""
+    import os
+    from pyratbay_tpu.benchmark import make_flagship
+    from pyratbay_tpu.retrieval.driver import run_retrieval
+
+    workdir = str(tmp_path / 'flag')
+    model, obs, ret, forward, p0 = make_flagship(
+        workdir, nlayers=21, wl_low=1.1, wl_high=1.3, wnstep=4.0,
+    )
+    # Synthetic data + a fast sampler config:
+    band = np.asarray(jax.jit(forward)(jnp.asarray(p0))['bandflux'])
+    rng = np.random.default_rng(1)
+    model.cfg.data = band + rng.normal(0, 3e-6, len(band))
+    model.cfg.uncert = np.full(len(band), 3e-6)
+    model.cfg.filters = [
+        f'tophat {wl0:.4f} 0.01'
+        for wl0 in np.linspace(1.13, 1.27, len(band))
+    ]
+    model.cfg.nsamples = 300
+    model.cfg.nchains = 10
+    model.cfg.burnin = 5
+    model.cfg.dt_retrieval_snapshot = 0.0   # checkpoint every chunk
+    model.cfg.logfile = workdir + '/flagship.log'
+
+    run_retrieval(model, seed=2)
+    base = os.path.splitext(model.cfg.logfile)[0]
+    assert os.path.isfile(base + '.npz')
+    assert os.path.isfile(base + '_checkpoint.npz')
+    assert np.all(np.isfinite(model.posterior))
+    assert np.isfinite(model.best_log_post)
+    # Post-processing artifacts:
+    assert os.path.isfile(base + '_temperature_posterior.npz')
+    assert os.path.isfile(base + '_spectrum_posterior.npz')
+    assert os.path.isfile(base + '_median.atm')
+    assert os.path.isfile(base + '_bestfit_spectrum.png')
+    assert os.path.isfile(base + '_posteriors.png')
+
+    # Resume: doubling nsamples continues from the checkpoint.
+    ckpt = np.load(base + '_checkpoint.npz')
+    igen_first = int(ckpt['igen'])
+    model.cfg.resume = True
+    model.cfg.nsamples = 600
+    run_retrieval(model, seed=2)
+    ckpt2 = np.load(base + '_checkpoint.npz')
+    assert int(ckpt2['igen']) > igen_first
+    assert len(model.posterior) > 0
