@@ -26,6 +26,19 @@ def main():
         '-pf', nargs='*', metavar='ARGS',
         help='partition-function tools: "-pf tips MOLECULE [OUTFILE]"',
     )
+    parser.add_argument(
+        '-cs', nargs='*', metavar='ARGS',
+        help='cross-section reformat: "-cs hitran FILE [TSTEP [WSTEP]]" '
+             'or "-cs borysow FILE SPECIES1 SPECIES2"',
+    )
+    parser.add_argument(
+        '--post', metavar='CONFIG', default=None,
+        help='post-process a saved retrieval posterior',
+    )
+    parser.add_argument(
+        '-suf', dest='suffix', default='',
+        help='suffix for post-processed output files',
+    )
     args = parser.parse_args()
 
     if args.version:
@@ -47,6 +60,32 @@ def main():
             return 0
         print('Usage: pbay-tpu -pf tips MOLECULE [OUTFILE]')
         return 1
+
+    if args.cs is not None:
+        from . import tools
+        if len(args.cs) >= 2 and args.cs[0] == 'hitran':
+            tstep = int(args.cs[2]) if len(args.cs) > 2 else 1
+            wstep = int(args.cs[3]) if len(args.cs) > 3 else 1
+            written = tools.cia_hitran(args.cs[1], tstep, wstep)
+            for path in written:
+                print(f"Written cross-section file: '{path}'")
+            return 0
+        if len(args.cs) == 4 and args.cs[0] == 'borysow':
+            path = tools.cia_borysow(args.cs[1], args.cs[2], args.cs[3])
+            print(f"Written cross-section file: '{path}'")
+            return 0
+        print(
+            'Usage: pbay-tpu -cs hitran FILE [TSTEP [WSTEP]] | '
+            '-cs borysow FILE SPECIES1 SPECIES2'
+        )
+        return 1
+
+    if args.post is not None:
+        from .retrieval.driver import posterior_post_processing
+        posterior_post_processing(
+            args.post, suffix=args.suffix, root=args.root,
+        )
+        return 0
 
     if args.cfile is None:
         parser.print_help()

@@ -114,6 +114,7 @@ def make_flagship(workdir=None, nlayers=51, wl_low=1.1, wl_high=1.7,
     )
     cfg_text = f"""[pyrat]
 runmode = spectrum
+verb = -1
 logfile = {workdir}/flagship.log
 rt_path = transit
 atmfile = {atmfile}

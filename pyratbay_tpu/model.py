@@ -430,6 +430,7 @@ class Model:
                 cfg.sampled_cs, pressure=self.press, temperature=temp_array,
                 min_wn=self.grid.wnlow, max_wn=self.grid.wnhigh,
                 wl_thinning=cfg.wl_thinning,
+                isotope_ratios=cfg.isotope_ratios,
             )
             imol = [species.index(mol) for mol in ls.species]
             self.opacity_models.append(('line_sample', ls, imol))
@@ -780,7 +781,9 @@ class Model:
                 sk = jnp.asarray([
                     1.0 if mol not in skip else 0.0 for mol in model.species
                 ])
-                contrib = model.extinction(temp, density * sk[None, :])
+                contrib = model.extinction(
+                    temp, density * sk[None, :], pars=pars,
+                )
             elif mtype == 'lbl':
                 if lbl_engine == 'direct':
                     contrib = self.direct_lbl(model).extinction_fn()(

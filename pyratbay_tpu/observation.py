@@ -70,6 +70,35 @@ class Observation:
             self.band_wl = np.array([band.wl0 for band in self.filters])
             self._band_matrix = band_matrix(self.filters, len(wn))
 
+        # High-resolution channel (reference observation.py:76-97):
+        # per-point wavenumbers + data/uncert, modeled by convolving
+        # the spectrum to inst_resolution (+ optional RV shift) and
+        # interpolating at wn_hires.
+        self.wn_hires = None
+        self.data_hires = None
+        self.uncert_hires = None
+        self.inst_resolution = getattr(cfg, 'inst_resolution', None)
+        obsfile_hires = getattr(cfg, 'obsfile_hires', None)
+        if obsfile_hires is not None:
+            if self.inst_resolution is None:
+                raise ValueError(
+                    'Undefined inst_resolution, required when modeling '
+                    'high-resolution data (obsfile_hires)'
+                )
+            obs_h = pio.read_observations(_expand(obsfile_hires, root))
+            wl_hires = []
+            for entry in obs_h['filters']:
+                fields = str(entry).split()
+                path = _expand(fields[0], root)
+                if os.path.isfile(path):
+                    wl_hires.append(PassBand(path, wn=wn).wl0)
+                else:
+                    wl_hires.append(float(fields[0]))
+            self.wn_hires = 1.0 / (np.asarray(wl_hires) * pc.um)
+            if obs_h['data'] is not None and len(obs_h['data']):
+                self.data_hires = np.asarray(obs_h['data'], float)
+                self.uncert_hires = np.asarray(obs_h['uncert'], float)
+
         # Instrumental offsets / error-scaling parameter names:
         if cfg.offset_inst is not None:
             self.offset_inst = cfg.offset_inst.split()

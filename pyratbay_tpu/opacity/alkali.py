@@ -104,6 +104,16 @@ class VanderWaals:
         return self.cross_section(temperature) * density[:, None]
 
 
+    def __str__(self):
+        from ..tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('Alkali van der Waals opacity: {}', self.name)
+        fw.write('Species: {}', self.species)
+        fw.write('Line centers (cm-1): {}', list(np.round(self.wn0, 3)))
+        fw.write('Detuning cutoff (cutoff): {}', self.cutoff)
+        return fw.text
+
+
 class SodiumVdW(VanderWaals):
     """Na D doublet (VALD line data; Burrows et al. 2000)."""
 

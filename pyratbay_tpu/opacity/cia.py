@@ -106,3 +106,15 @@ class CIA:
         )
         dens_amagat = jnp.asarray(densities) / pc.amagat
         return cs_amagat * jnp.prod(dens_amagat, axis=1, keepdims=True)
+
+    def __str__(self):
+        from ..tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('Collision-induced absorption: {}', self.name)
+        fw.write('Species: {}', list(self.species))
+        fw.write(
+            'Temperature range: {:.1f} -- {:.1f} K ({:d} samples)',
+            float(self.tmin), float(self.tmax), self.ntemp,
+        )
+        fw.write('Wavenumber samples (nwave): {:d}', self.nwave)
+        return fw.text

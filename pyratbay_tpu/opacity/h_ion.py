@@ -106,3 +106,11 @@ class HydrogenIon:
             + self.cross_section_free_free(temperature)
         )
         return cs * (dens_h * dens_e)[:, None]
+
+    def __str__(self):
+        from ..tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('H- bound-free/free-free opacity (John 1988)')
+        fw.write('Species: {}', self.species)
+        fw.write('Wavenumber samples (nwave): {:d}', self.nwave)
+        return fw.text

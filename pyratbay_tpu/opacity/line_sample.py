@@ -86,6 +86,7 @@ class LineSample:
     def __init__(
             self, cs_files, pressure=None, temperature=None,
             min_wn=0.0, max_wn=np.inf, wl_thinning=1,
+            isotope_ratios=None,
         ):
         """
         Parameters
@@ -95,10 +96,31 @@ class LineSample:
         temperature: 1D array (K) -- target temperature grid.
         min_wn/max_wn: wavenumber trim bounds (cm-1).
         wl_thinning: keep every n-th wavenumber sample.
+        isotope_ratios: text block of '<file_label> <label> <value>'
+            lines declaring per-isotope tables (file_label is matched
+            against the cs file names); value is a log10 abundance
+            ratio (a retrievable parameter) or 'fill_<l1>_<l2>...'
+            (ratio = 1 - sum of the named isotopes).  Reference:
+            opacity/line_sampling.py:144-238.
         """
         if isinstance(cs_files, str):
             cs_files = [cs_files]
         self.cs_files = list(cs_files)
+
+        iso_keys, iso_labels, iso_vals = [], [], []
+        if isotope_ratios:
+            for line in str(isotope_ratios).splitlines():
+                if not line.strip():
+                    continue
+                fields = line.split()
+                if len(fields) != 3:
+                    raise ValueError(
+                        'Invalid isotope_ratios entry (expected '
+                        f"'<file_label> <label> <value>'): {line!r}"
+                    )
+                iso_keys.append(fields[0])
+                iso_labels.append('iso_' + fields[1])
+                iso_vals.append(fields[2])
 
         species0, temp, press, wn = pio.read_opacity(
             self.cs_files[0], extract='arrays',
@@ -113,11 +135,21 @@ class LineSample:
         self.nwave = len(self.wn)
 
         species = []
+        isotopes = []
+        tags = []
         tables = []
         for cs_file in self.cs_files:
             spec, _, file_press, file_wn = pio.read_opacity(
                 cs_file, extract='arrays',
             )
+            iso = ''
+            for key, label in zip(iso_keys, iso_labels):
+                if key in cs_file:
+                    if iso:
+                        raise ValueError(
+                            f'Multiple isotope labels match {cs_file!r}'
+                        )
+                    iso = label
             fmask = wn_mask_tol(file_wn, min_wn, max_wn)
             fwn = file_wn[fmask][::wl_thinning]
             if len(fwn) != self.nwave or np.any(
@@ -134,23 +166,81 @@ class LineSample:
             table = interpolate_opacity(
                 cs_file, self.temp, self.press, fmask, wl_thinning,
             )
-            if spec in species:
-                tables[species.index(spec)] += table
+            tag = spec + iso
+            if tag in tags:
+                tables[tags.index(tag)] += table
             else:
+                tags.append(tag)
                 species.append(spec)
+                isotopes.append(iso)
                 tables.append(table)
         self.species = np.array(species)
+        self.isotopes = list(isotopes)
         self.nspec = len(self.species)
         # [nspec, ntemp, nlayers, nwave]:
         self.cs_table = np.stack(tables, axis=0)
 
         self.tmin = float(np.amin(self.temp))
         self.tmax = float(np.amax(self.temp))
-        self.npars = 0
+
+        # Isotope abundance ratios: free parameters (log10) and fill
+        # slots (1 - sum of the named isotopes):
+        self.iso_ratios = np.ones(self.nspec)
+        self.iso_fill = [None] * self.nspec
+        self._iso_free = []
         self.pnames = []
-        self.texnames = []
-        self.pars = []
+        pars = []
+        for i, iso in enumerate(self.isotopes):
+            if iso == '':
+                continue
+            idx = iso_labels.index(iso)
+            val = iso_vals[idx]
+            if val.startswith('fill_'):
+                fillers = ['iso_' + f for f in val[5:].split('_')]
+                for filler in fillers:
+                    if filler not in self.isotopes:
+                        raise ValueError(
+                            f'Invalid isotope_ratios filler {filler!r}: '
+                            'no matching isotope table'
+                        )
+                self.iso_fill[i] = [
+                    self.isotopes.index(f) for f in fillers
+                ]
+            else:
+                self.iso_ratios[i] = 10.0 ** float(val)
+                self.pnames.append(iso)
+                self._iso_free.append(i)
+                pars.append(float(val))
+        self._update_iso_ratios()
+        self.pars = list(pars)
+        self.npars = len(pars)
+        self.texnames = list(self.pnames)
         self.mol = list(self.species)
+
+    def _update_iso_ratios(self, pars=None):
+        """Host-side ratio update (reference
+        line_sampling.py:282-298)."""
+        if pars is not None:
+            self.iso_ratios[self._iso_free] = 10.0 ** np.asarray(pars)
+        for i, fillers in enumerate(self.iso_fill):
+            if fillers is not None:
+                self.iso_ratios[i] = 1.0 - np.sum(
+                    self.iso_ratios[fillers],
+                )
+
+    def _jit_ratios(self, pars=None):
+        """Jit-safe isotope ratios for the retrieval forward."""
+        ratios = jnp.asarray(self.iso_ratios)
+        if pars is not None and self._iso_free:
+            ratios = ratios.at[jnp.asarray(self._iso_free)].set(
+                10.0 ** jnp.asarray(pars),
+            )
+        for i, fillers in enumerate(self.iso_fill):
+            if fillers is not None:
+                ratios = ratios.at[i].set(
+                    1.0 - jnp.sum(ratios[jnp.asarray(fillers)]),
+                )
+        return ratios
 
     def _t_weights(self, temperature):
         """Lower index + lerp weights along the temperature axis."""
@@ -176,14 +266,36 @@ class LineSample:
             return cs
         return jnp.sum(cs, axis=0)
 
-    def extinction(self, temperature, density, per_mol=False):
+    def extinction(self, temperature, density, per_mol=False, pars=None):
         """EC (cm-1): density [nlayers, nspec] -> [(nspec,) nlayers, nwave].
 
-        Equivalent of the reference interp_ec: lerp in T, times density,
-        summed over species.
+        Equivalent of the reference interp_ec: lerp in T, times density
+        (weighted by the isotope abundance ratios), summed over species.
+        pars: free isotope-ratio parameters (log10), jit-safe.
         """
         cs = self.cross_section(temperature, per_mol=True)   # [s, l, w]
-        ec = cs * jnp.asarray(density).T[:, :, None]
+        weights = self._jit_ratios(pars)
+        ec = cs * (jnp.asarray(density).T * weights[:, None])[:, :, None]
         if per_mol:
             return ec
         return jnp.sum(ec, axis=0)
+
+    def __str__(self):
+        from ..tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('Line-sampled cross-section opacity:')
+        fw.write('Number of species (nspec): {:d}', self.nspec)
+        for spec, iso in zip(self.species, self.isotopes):
+            fw.write('  {}{}', spec, f' ({iso})' if iso else '')
+        fw.write(
+            'Temperature range: {:.1f} -- {:.1f} K ({:d} samples)',
+            self.tmin, self.tmax, self.ntemp,
+        )
+        fw.write(
+            'Wavenumber range: {:.3f} -- {:.3f} cm-1 ({:d} samples)',
+            float(self.wn[0]), float(self.wn[-1]), self.nwave,
+        )
+        fw.write('Pressure layers (nlayers): {:d}', self.nlayers)
+        if self.npars:
+            fw.write('Isotope-ratio parameters: {}', self.pnames)
+        return fw.text

@@ -53,3 +53,15 @@ class Rayleigh:
     def extinction(self, density):
         """EC (cm-1): density [nlayers] of this species -> [nlayers, nwave]."""
         return jnp.asarray(self.cross_section)[None, :] * density[:, None]
+
+    def __str__(self):
+        from ..tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('Rayleigh opacity model: {}', self.name)
+        fw.write('Species: {}', self.species)
+        fw.write(
+            'Cross section range: {:.3e} -- {:.3e} cm2 molec-1',
+            float(np.min(self.cross_section)),
+            float(np.max(self.cross_section)),
+        )
+        return fw.text

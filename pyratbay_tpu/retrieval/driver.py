@@ -57,7 +57,9 @@ def run_retrieval(model, seed=0):
         cfg, model.wn,
         root=os.path.dirname(cfg.config_file) + '/',
     )
-    if obs.data is None or not obs.nbands:
+    has_lowres = obs.data is not None and obs.nbands > 0
+    has_hires = getattr(obs, 'data_hires', None) is not None
+    if not has_lowres and not has_hires:
         raise ValueError(
             'Undefined observed data/filters, required for retrieval'
         )
@@ -173,6 +175,37 @@ def run_retrieval(model, seed=0):
     except Exception as exc:
         log.warning(f'Retrieval post-processing failed: {exc}')
     return results
+
+
+def posterior_post_processing(cfg_file, suffix='', root=None):
+    """Re-run the retrieval post-processing from a saved posterior
+    (the `pbay-tpu --post cfg` entry; reference
+    tools/retrieval_tools.py:384).
+    """
+    from ..model import Model
+    from ..observation import Observation
+
+    model = Model(cfg_file, root=root)
+    cfg = model.cfg
+    obs = Observation(
+        cfg, model.wn, root=os.path.dirname(cfg.config_file) + '/',
+    )
+    ret = RetrievalParams(model, obs)
+    forward = jax.jit(build_forward(model, obs, ret))
+
+    base = os.path.splitext(cfg.logfile)[0]
+    saved = np.load(base + '.npz')
+    model.posterior = saved['posterior']
+    model.bestp = saved['bestp']
+    model.best_log_post = float(saved['best_log_post'])
+    model.spec_best = saved['spec_best']
+    model.bandflux_best = saved['bandflux_best']
+    results = {'posterior': model.posterior}
+    if suffix:
+        model.cfg.logfile = base + suffix + os.path.splitext(
+            cfg.logfile)[1]
+    post_process(model, obs, ret, forward, results)
+    return model
 
 
 def post_process(model, obs, ret, forward, results):

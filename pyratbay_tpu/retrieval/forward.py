@@ -88,6 +88,25 @@ def build_forward(model, obs=None, ret=None, dtype=None):
     )
     wn = np.asarray(model.wn)
 
+    # High-resolution channel: a static instrumental kernel (computed
+    # from inst_resolution and the model grid's sampling resolution)
+    # convolves the spectrum; an optional retrieved RV shifts the
+    # wavenumber grid before interpolating at the data wavenumbers
+    # (reference pyrat/pyrat_obj.py:331-356, jit-safe throughout):
+    has_hires = (
+        obs is not None and getattr(obs, 'wn_hires', None) is not None
+    )
+    if has_hires:
+        from ..spectrum.hires import instrumental_kernel
+        sampling_res = model.grid.resolution
+        if sampling_res is None:
+            dwn = np.ediff1d(wn)
+            sampling_res = float(np.median(wn[:-1] / dwn))
+        hires_kernel = np.asarray(instrumental_kernel(
+            obs.inst_resolution, sampling_res,
+        ))
+        wn_hires = np.asarray(obs.wn_hires)
+
     # Retrieving tstar requires a T-dependent stellar flux: either a
     # temperature-gridded SED (interpolated, reference
     # pyrat/pyrat_obj.py:288-290) or a blackbody star:
@@ -231,6 +250,22 @@ def build_forward(model, obs=None, ret=None, dtype=None):
             bandflux = obs.band_integrate(spectrum)
             bandflux = jnp.where(good, bandflux, jnp.inf)
             out['bandflux'] = bandflux
+        if has_hires:
+            conv = jnp.convolve(
+                spectrum, jnp.asarray(hires_kernel), mode='same',
+            )
+            wn_eval = jnp.asarray(wn)
+            if ret is not None and ret.irv is not None:
+                vel = params[ret.irv] * pc.km
+                wn_eval = wn_eval * jnp.sqrt(
+                    (1.0 - vel / pc.c) / (1.0 + vel / pc.c)
+                )
+            flux_hires = jnp.interp(
+                jnp.asarray(wn_hires), wn_eval, conv,
+            )
+            out['bandflux_hires'] = jnp.where(
+                good, flux_hires, jnp.inf,
+            )
         return out
 
     return forward
@@ -244,8 +279,19 @@ def build_log_posterior(model, obs, ret):
     and optional Gaussian priors.
     """
     forward = build_forward(model, obs, ret)
-    data = jnp.asarray(obs.data)
-    uncert = jnp.asarray(obs.uncert)
+    has_lowres = obs.data is not None and obs.nbands > 0
+    if has_lowres:
+        data = jnp.asarray(obs.data)
+        uncert = jnp.asarray(obs.uncert)
+    has_hires_data = getattr(obs, 'data_hires', None) is not None
+    if has_hires_data:
+        data_hires = jnp.asarray(obs.data_hires)
+        uncert_hires = jnp.asarray(obs.uncert_hires)
+    if not has_lowres and not has_hires_data:
+        raise ValueError(
+            'Undefined observed data (data/obsfile/obsfile_hires), '
+            'required to build the likelihood'
+        )
     pmin = jnp.asarray(ret.pmin)
     pmax = jnp.asarray(ret.pmax)
     prior = jnp.asarray(ret.prior)
@@ -256,23 +302,34 @@ def build_log_posterior(model, obs, ret):
     def log_post(params):
         params = jnp.asarray(params)
         result = forward(params)
-        bandflux = result['bandflux']
-        # Instrumental offsets shift the data; error-scaling inflates
-        # the uncertainties (with the chi2 normalization term):
-        data_adj = data
-        uncert_adj = uncert
-        if ret.ioffset:
-            data_adj = obs.offset_data(
-                params[jnp.asarray(ret.ioffset)],
-            )
-        log_norm = 0.0
-        if ret.ierror:
-            uncert_adj = obs.scale_uncert(
-                params[jnp.asarray(ret.ierror)],
-            )
-            log_norm = -jnp.sum(jnp.log(uncert_adj / uncert))
-        resid = (bandflux - data_adj) / uncert_adj
-        log_like = -0.5 * jnp.sum(resid**2) + log_norm
+        log_like = 0.0
+        if has_lowres:
+            bandflux = result['bandflux']
+            # Instrumental offsets shift the data; error-scaling
+            # inflates the uncertainties (with the chi2 normalization
+            # term):
+            data_adj = data
+            uncert_adj = uncert
+            if ret.ioffset:
+                data_adj = obs.offset_data(
+                    params[jnp.asarray(ret.ioffset)],
+                )
+            log_norm = 0.0
+            if ret.ierror:
+                uncert_adj = obs.scale_uncert(
+                    params[jnp.asarray(ret.ierror)],
+                )
+                log_norm = -jnp.sum(jnp.log(uncert_adj / uncert))
+            resid = (bandflux - data_adj) / uncert_adj
+            log_like = -0.5 * jnp.sum(resid**2) + log_norm
+        if has_hires_data:
+            # Mixed low-res + high-res likelihood (the reference
+            # returns one or the other; combining is a TODO there,
+            # pyrat_obj.py:352-354):
+            resid_h = (
+                result['bandflux_hires'] - data_hires
+            ) / uncert_hires
+            log_like = log_like - 0.5 * jnp.sum(resid_h**2)
         in_bounds = jnp.all((params >= pmin) & (params <= pmax))
         # Two-sided Gaussian priors where defined:
         sigma = jnp.where(params > prior, priorup, priorlow)

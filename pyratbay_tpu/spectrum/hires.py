@@ -10,7 +10,28 @@ from scipy.signal.windows import gaussian
 
 from .. import constants as pc
 
-__all__ = ['inst_convolution', 'rv_shift']
+__all__ = ['inst_convolution', 'instrumental_kernel', 'rv_shift']
+
+
+def instrumental_kernel(resolution, sampling_res):
+    """Gaussian instrumental kernel resampled onto the spectrum's
+    velocity sampling (static; reference spec_tools.py:817-860).
+
+    resolution: R = lambda/FWHM of the gaussian; sampling_res: the
+    spectrum's sampling resolving power.
+    """
+    pixel_dv = pc.c / resolution / 1e5     # FWHM in km/s
+    n_el = int(6 * pixel_dv) + 1
+    kernel = gaussian(n_el, std=pixel_dv / 2.355)
+    kernel /= np.sum(kernel)
+
+    rv_pix = np.abs(pc.c / 1e5 / sampling_res)
+    n_rv0 = int(((n_el - 1) / 2) / rv_pix)
+    rv_array = np.arange(-(n_el - 1) / 2, (n_el - 1) / 2 + 1, 1)
+    rv_mod = np.linspace(-n_rv0 * rv_pix, n_rv0 * rv_pix, 2 * n_rv0 + 1)
+    spline = si.splrep(rv_array, kernel)
+    kernel_pix = si.splev(rv_mod, spline, der=0)
+    return kernel_pix / np.sum(kernel_pix)
 
 
 def inst_convolution(wl, spectrum, resolution, sampling_res=None):
@@ -20,23 +41,10 @@ def inst_convolution(wl, spectrum, resolution, sampling_res=None):
     sampling_res: resolution of the input sampling (estimated from wl
     when not given).
     """
-    pixel_dv = pc.c / resolution / 1e5     # FWHM in km/s
-    n_el = int(6 * pixel_dv) + 1
-    kernel = gaussian(n_el, std=pixel_dv / 2.355)
-    kernel /= np.sum(kernel)
-
     if sampling_res is None:
-        dv = pc.c / 1e5 * np.ediff1d(wl) / wl[:-1]
-        rv_pix = np.abs(np.mean(dv))
-    else:
-        rv_pix = np.abs(pc.c / 1e5 / sampling_res)
-
-    n_rv0 = int(((n_el - 1) / 2) / rv_pix)
-    rv_array = np.arange(-(n_el - 1) / 2, (n_el - 1) / 2 + 1, 1)
-    rv_mod = np.linspace(-n_rv0 * rv_pix, n_rv0 * rv_pix, 2 * n_rv0 + 1)
-    spline = si.splrep(rv_array, kernel)
-    kernel_pix = si.splev(rv_mod, spline, der=0)
-    kernel_pix /= np.sum(kernel_pix)
+        dv = np.ediff1d(wl) / wl[:-1]
+        sampling_res = 1.0 / np.abs(np.mean(dv))
+    kernel_pix = instrumental_kernel(resolution, sampling_res)
     return convolve(spectrum, kernel_pix, mode='same')
 
 

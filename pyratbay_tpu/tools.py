@@ -115,3 +115,99 @@ def depth_to_radius(depth, depth_err):
     rprs = np.sqrt(depth)
     rprs_err = 0.5 * depth_err / rprs
     return rprs, rprs_err
+
+
+def cia_hitran(ciafile, tstep=1, wstep=1, outdir='.'):
+    """Reformat a HITRAN CIA file into the native CIA table format.
+
+    The HITRAN file is a sequence of blocks, each a header line
+    ('PAIR  wnmin wnmax npts temp ...') followed by npts '(wn, cs)'
+    rows; cross sections are cm5 molec-2 (converted to the amagat^-2
+    convention on write).  tstep/wstep thin the temperature/wavenumber
+    sampling.  Returns the list of written file paths.
+    (Reference behavior: tools/tools.py::cia_hitran.)
+    """
+    import os
+    from . import constants as pc
+    from .io import io as pio
+
+    with open(ciafile) as f:
+        lines = f.read().splitlines()
+    pair = lines[0].split()[0]
+    species = pair.split('-')
+
+    # Parse blocks (header + npts rows each):
+    blocks = []
+    i = 0
+    while i < len(lines):
+        info = lines[i].split()
+        npts = int(info[3])
+        temp = float(info[4])
+        rows = np.array([
+            line.split()[:2] for line in lines[i + 1:i + 1 + npts]
+        ], float)
+        blocks.append((temp, rows[:, 0], rows[:, 1]))
+        i += 1 + npts
+
+    # Group consecutive blocks sharing a wavenumber grid into one
+    # table each:
+    written = []
+    i = 0
+    while i < len(blocks):
+        wn = blocks[i][1][::wstep]
+        j = i
+        while j < len(blocks) and len(blocks[j][1][::wstep]) == len(wn) \
+                and np.array_equal(blocks[j][1][::wstep], wn):
+            j += 1
+        temps = np.array([b[0] for b in blocks[i:j:tstep]])
+        cs = np.array([b[2][::wstep] for b in blocks[i:j:tstep]])
+        cs = cs * pc.amagat**2
+
+        wl_min = 1.0 / (wn[-1] * pc.um)
+        wl_max = 1.0 / (wn[0] * pc.um)
+        csfile = os.path.join(outdir, (
+            f'CIA_HITRAN_{pair}_{wl_min:.1f}-{wl_max:.1f}um_'
+            f'{temps[0]:04.0f}-{temps[-1]:04.0f}K.dat'
+        ))
+        header = (
+            f'# Reformatted {pair} CIA data from\n'
+            f'# HITRAN file: {ciafile}\n\n'
+        )
+        pio.write_cs(csfile, cs, species, temps, wn, header)
+        written.append(csfile)
+        i = j
+    return written
+
+
+def cia_borysow(ciafile, species1, species2, outdir='.'):
+    """Reformat a Borysow CIA table (wn rows x temperature columns,
+    temperatures on the second header line) into the native format.
+    Returns the written file path.
+    (Reference behavior: tools/tools.py::cia_borysow.)
+    """
+    import os
+    from . import constants as pc
+    from .io import io as pio
+
+    data = np.loadtxt(ciafile, skiprows=3)
+    wn = data[:, 0]
+    cs = data[:, 1:].T
+    with open(ciafile) as f:
+        f.readline()
+        temps = [
+            float(t.replace('K', '')) for t in f.readline().split()[1:]
+        ]
+    species = [species1, species2]
+    pair = f'{species1}-{species2}'
+    wl_min = 1.0 / (wn[-1] * pc.um)
+    wl_max = 1.0 / (wn[0] * pc.um)
+    csfile = os.path.join(outdir, (
+        f'CIA_Borysow_{pair}_{wl_min:.1f}-{wl_max:.1f}um_'
+        f'{temps[0]:04.0f}-{temps[-1]:04.0f}K.dat'
+    ))
+    header = (
+        f'# Reformatted {pair} CIA data from:\n'
+        f'# {os.path.basename(ciafile)}\n\n'
+    )
+    pio.write_cs(csfile, cs, species, np.asarray(temps), wn, header)
+    return csfile

@@ -111,3 +111,74 @@ def test_model_save_load(tmp_path):
     model2 = load_model(pkl)
     np.testing.assert_allclose(model2.spectrum, model.spectrum)
     assert model2.nwave == model.nwave
+
+
+@requires_reference
+def test_hires_channel(tmp_path):
+    """High-res channel: instrumental convolution + RV shift +
+    interpolation inside the jitted forward and likelihood."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.interpolate as si
+    from pyratbay_tpu.benchmark import make_flagship
+    from pyratbay_tpu.io import io as pio
+    from pyratbay_tpu.observation import Observation
+    from pyratbay_tpu.retrieval import (
+        RetrievalParams, build_forward, build_log_posterior,
+    )
+    from pyratbay_tpu.spectrum.hires import inst_convolution, rv_shift
+
+    workdir = str(tmp_path / 'flag')
+    model, obs0, ret0, fwd0, p0 = make_flagship(
+        workdir, nlayers=21, wl_low=1.1, wl_high=1.3, wnstep=2.0,
+    )
+    # High-res observation file: 40 points across the window:
+    wl_hires = np.linspace(1.15, 1.25, 40)
+    hires_file = workdir + '/hires_obs.dat'
+    pio.write_observations(
+        hires_file,
+        np.full(40, 0.0066), np.full(40, 1e-5),
+        [f'{wl:.6f} 0.0001 HIRES' for wl in wl_hires],
+    )
+    cfg = model.cfg
+    cfg.obsfile_hires = hires_file
+    cfg.inst_resolution = 20000.0
+    cfg.retrieval_params = cfg.retrieval_params + \
+        '\n    rv_shift   10.0  -100.0  100.0  5.0'
+
+    obs = Observation(cfg, model.wn)
+    assert obs.wn_hires is not None and len(obs.wn_hires) == 40
+    assert obs.data_hires is not None
+    ret = RetrievalParams(model, obs)
+    assert ret.irv is not None
+
+    forward = jax.jit(build_forward(model, obs, ret))
+    out = forward(jnp.asarray(ret.params))
+    flux_h = np.asarray(out['bandflux_hires'])
+    assert flux_h.shape == (40,)
+    assert np.all(np.isfinite(flux_h))
+
+    # Host-side check of the same physics:
+    spec = np.asarray(out['spectrum'])
+    wl_grid = 1.0 / np.asarray(model.wn)
+    dwn = np.ediff1d(np.asarray(model.wn))
+    sampling_res = float(np.median(np.asarray(model.wn)[:-1] / dwn))
+    conv = inst_convolution(
+        wl_grid, spec, 20000.0, sampling_res=sampling_res,
+    )
+    wn_shifted = rv_shift(float(ret.params[ret.irv]), wn=model.wn)
+    expected = si.interp1d(wn_shifted, conv)(obs.wn_hires)
+    np.testing.assert_allclose(flux_h, expected, rtol=1e-5)
+
+    # RV responds:
+    p2 = np.asarray(ret.params).copy()
+    p2[ret.irv] = -50.0
+    flux_h2 = np.asarray(forward(jnp.asarray(p2))['bandflux_hires'])
+    assert not np.allclose(flux_h2, flux_h)
+
+    # Mixed low-res + hires likelihood is finite:
+    obs.data = np.full(obs.nbands, 0.0066)
+    obs.uncert = np.full(obs.nbands, 2e-5)
+    log_post = jax.jit(build_log_posterior(model, obs, ret))
+    lp = float(log_post(jnp.asarray(ret.params)))
+    assert np.isfinite(lp)

@@ -110,3 +110,43 @@ def test_driver_spectrum_writes_file(tmp_path):
     from pyratbay_tpu.io import read_spectrum
     wl, spec = read_spectrum(specfile, wn=False)
     np.testing.assert_allclose(spec, model.spectrum, rtol=1e-8)
+
+
+def test_line_sample_isotope_ratios(tmp_path):
+    """Retrievable isotope-ratio parameters with fill-species
+    renormalization (reference line_sampling.py:206-237)."""
+    import jax
+    import jax.numpy as jnp
+    from pyratbay_tpu.benchmark import _synthetic_cs_table
+    from pyratbay_tpu.opacity.line_sample import LineSample
+
+    press = np.logspace(-6, 2, 11)
+    wn = np.arange(5000.0, 5256.0, 1.0)
+    f161 = str(tmp_path / 'H2O_161_cs.npz')
+    f181 = str(tmp_path / 'H2O_181_cs.npz')
+    _synthetic_cs_table(f161, wn, press, species='H2O', seed=1)
+    _synthetic_cs_table(f181, wn, press, species='H2O', seed=2)
+
+    ls = LineSample(
+        [f161, f181], pressure=press,
+        isotope_ratios='161 161 fill_181\n181 181 -2.0',
+    )
+    assert ls.nspec == 2
+    assert list(ls.species) == ['H2O', 'H2O']
+    assert ls.pnames == ['iso_181']
+    np.testing.assert_allclose(ls.iso_ratios, [1 - 1e-2, 1e-2])
+
+    temp = np.full(11, 1200.0)
+    dens = np.full((11, 2), 1e18)
+    cs = np.asarray(ls.cross_section(temp, per_mol=True))
+    ec = np.asarray(ls.extinction(temp, dens))
+    expected = (
+        cs[0] * 1e18 * (1 - 1e-2) + cs[1] * 1e18 * 1e-2
+    )
+    np.testing.assert_allclose(ec, expected, rtol=1e-6)
+
+    # Jit-safe parameter response + fill renormalization:
+    fn = jax.jit(lambda p: ls.extinction(temp, dens, pars=p))
+    ec2 = np.asarray(fn(jnp.asarray([-1.0])))
+    expected2 = cs[0] * 1e18 * (1 - 1e-1) + cs[1] * 1e18 * 1e-1
+    np.testing.assert_allclose(ec2, expected2, rtol=1e-6)
