@@ -520,7 +520,14 @@ def _solve_layer(g0, lnp, b, stoich, n_iter, dtype):
         mat = mat.at[ne, :ne].set(bhat)
         mat = mat.at[ne, ne].set(nsum - ntot)
         reg = 1e-12 * (jnp.trace(mat) / (ne + 1) + btot)
-        sol = _linsolve(mat + reg * eye, jnp.append(rhs_el, rhs_n))
+        mat = mat + reg * eye
+        # Symmetric diagonal (Jacobi) preconditioning: element moles
+        # span ~7 decades (H at 1 vs K at 1e-7), which wrecks the
+        # float32 solve without it:
+        scale = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(mat)) + 1e-30)
+        mat_s = mat * scale[:, None] * scale[None, :]
+        rhs_s = jnp.append(rhs_el, rhs_n) * scale
+        sol = _linsolve(mat_s, rhs_s) * scale
 
         pi = sol[:ne]
         dln_ntot = sol[ne]
@@ -537,7 +544,23 @@ def _solve_layer(g0, lnp, b, stoich, n_iter, dtype):
         return ln_n_new, ln_ntot_new
 
     ln_n, ln_ntot = lax.fori_loop(0, n_iter, body, (ln_n0, ln_ntot0))
-    return jnp.exp(ln_n)
+
+    # Averaged tail: in float32 the Newton steps rattle at the
+    # rounding-noise floor near convergence; averaging ~32 further
+    # iterates cancels the zero-mean noise (float64 runs converge
+    # before this phase and are unaffected):
+    n_avg = 32
+
+    def avg_body(_, carry):
+        (ln_n, ln_ntot), acc = carry
+        new = body(0, (ln_n, ln_ntot))
+        return new, acc + new[0]
+
+    (ln_n, ln_ntot), acc = lax.fori_loop(
+        0, n_avg, avg_body,
+        ((ln_n, ln_ntot), jnp.zeros_like(ln_n)),
+    )
+    return jnp.exp(acc / n_avg)
 
 
 def equilibrium_vmr(g0, lnp, b, stoich, n_iter=120):

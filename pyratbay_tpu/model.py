@@ -190,7 +190,16 @@ class Model:
         self.chemistry = cfg.chemistry
         self.chem_model = None
         self._equil_fn = None
-        if cfg.chemistry == 'equilibrium' and self.base_vmr is None:
+        if cfg.chemistry == 'equilibrium':
+            # The chemistry model takes precedence over any input VMR
+            # profile (reference Atmosphere calc/read decision,
+            # pyrat/atmosphere.py:205-217); cfg species override the
+            # input atmosphere's:
+            if cfg.species is not None:
+                # Properties are resolved after the network prunes
+                # species without thermodynamic data:
+                self.species = list(cfg.species)
+                self.base_vmr = None
             if self.species is None:
                 raise ValueError(
                     'chemistry=equilibrium requires atmospheric species'
@@ -211,11 +220,10 @@ class Model:
                 self.press, temp0, self.species, e_source=e_source,
             )
             self.chem_model.thermochemical_equilibrium()
-            if self.chem_model.dropped_species:
-                self.species = list(self.chem_model.species)
-                self.mol_mass, self.mol_radius = pio.species_properties(
-                    self.species, cfg.molfile,
-                )
+            self.species = [str(s) for s in self.chem_model.species]
+            self.mol_mass, self.mol_radius = pio.species_properties(
+                self.species, cfg.molfile,
+            )
             self.base_vmr = np.asarray(self.chem_model.vmr)
             self.base_temp = np.asarray(temp0)
             self._equil_fn = chem.jit_equilibrium_fn(self.chem_model)

@@ -15,7 +15,8 @@ __all__ = ['run_retrieval']
 
 
 def _run_nested(model, obs, ret, log_post, seed):
-    """MultiNest-equivalent run: nested sampling with a uniform
+    """Nested-sampling run (the MultiNest-interface slot): batched
+    MCMC nested sampling with a uniform
     unit-cube prior over [pmin, pmax] (fixed params stay fixed)."""
     import jax.numpy as jnp
     from .nested import sample_nested

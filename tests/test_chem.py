@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 import jax
 
+from conftest import requires_reference, REFERENCE_ROOT
+
 from pyratbay_tpu.atmosphere import chem
 
 R_GAS = 8.314462618
@@ -300,3 +302,47 @@ radmodel = hydro_m
     big = [np.array([0.0]), np.array([0.0]), np.array([0.9])]
     v3 = np.asarray(m2.eval_vmr(big))
     assert v3[12, m2.species.index('H2O')] < 2e-3
+
+
+@requires_reference
+def test_tea_profile_vs_chemcat_golden():
+    """Native Gibbs network vs the reference's stored chemcat TEA
+    profile (expected_tea_profile.npz): bulk species exact, traces
+    within the thermo-data differences (~4%)."""
+    from pyratbay_tpu import driver
+    model = driver.run(
+        REFERENCE_ROOT + 'tests/configs/atmosphere_equilibrium_test.cfg',
+        root=REFERENCE_ROOT, with_log=False,
+    )
+    gold = np.load(
+        REFERENCE_ROOT + 'tests/expected/expected_tea_profile.npz'
+    )['arr_0']
+    vmr = model.base_vmr
+    assert vmr.shape == gold.shape
+    # Bulk species (H2, He) match to float64 solver precision:
+    np.testing.assert_allclose(vmr[:, :2], gold[:, :2], rtol=1e-4)
+    # Trace species: within different-thermo-data territory:
+    strong = gold > 1e-10
+    dev = np.abs(vmr[strong] / gold[strong] - 1)
+    assert dev.max() < 0.05
+    assert np.median(dev) < 1e-3
+
+
+@requires_reference
+def test_f32_equilibrium_mass_balance():
+    """The float32 (TPU retrieval path) solver preserves element
+    ratios at low pressure (He/H to < 1%)."""
+    import jax.numpy as jnp
+    species = 'H2 He Na K H2O CH4 CO CO2 NH3 HCN N2'.split()
+    press = np.array([1.26e-5, 1e-2, 10.0])
+    temp = np.array([1046.94, 1400.0, 2400.0])
+    net = chem.Network(press, temp, species)
+    fn = chem.jit_equilibrium_fn(net)
+    vmr = np.asarray(fn(jnp.asarray(temp, jnp.float32)))
+    h_tot = (
+        2 * vmr[:, 0] + 2 * vmr[:, 4] + 4 * vmr[:, 5]
+        + 3 * vmr[:, 8] + vmr[:, 9]
+    )
+    he_h = vmr[:, 1] / h_tot
+    expected = 10.0 ** (net._solar_dex[1] - 12.0)
+    np.testing.assert_allclose(he_h, expected, rtol=0.01)

@@ -124,3 +124,22 @@ def test_transmission_patchy(tmp_path):
         0.5 * np.asarray(result['cloudy']) + 0.5 * np.asarray(result['clear']),
         rtol=1e-12,
     )
+
+
+@requires_reference
+def test_transmission_h_ion(tmp_path):
+    """H- opacity golden with native equilibrium chemistry.
+
+    The stored golden was generated with chemcat abundances; the
+    native Gibbs network reproduces it to 2e-4 (the small uniform
+    offset is the thermochemical-data difference in the e-/H-
+    abundances)."""
+    model = Model(
+        CONFIGS + 'spectrum_transmission_h_ion.cfg',
+        root=REFERENCE_ROOT,
+    )
+    model.run()
+    gold = np.load(
+        EXPECTED + 'expected_spectrum_transmission_h_ion_test.npz'
+    )['arr_0']
+    np.testing.assert_allclose(model.spectrum, gold, rtol=2e-4)

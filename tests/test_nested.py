@@ -49,3 +49,33 @@ def test_nested_asymmetric_posterior():
     post = res['posterior']
     corr = np.corrcoef(post.T)[0, 1]
     assert abs(corr - 0.8) < 0.1
+
+
+def test_nested_bimodal_posterior():
+    """Batched replacement walks seeded from random survivors keep
+    both modes of a well-separated bimodal posterior populated."""
+    import jax.numpy as jnp
+    from pyratbay_tpu.retrieval.nested import sample_nested
+
+    sigma = 0.05
+    mu1 = jnp.array([0.3, 0.3])
+    mu2 = jnp.array([0.7, 0.7])
+
+    def log_like(theta):
+        ll1 = -0.5 * jnp.sum((theta - mu1)**2) / sigma**2
+        ll2 = -0.5 * jnp.sum((theta - mu2)**2) / sigma**2
+        return jnp.logaddexp(ll1, ll2) - jnp.log(2.0)
+
+    results = sample_nested(
+        log_like, lambda u: u, ndim=2, nlive=400,
+        key=jax.random.PRNGKey(4),
+    )
+    post = results['posterior']
+    frac_mode1 = np.mean(np.linalg.norm(post - [0.3, 0.3], axis=1) < 0.2)
+    frac_mode2 = np.mean(np.linalg.norm(post - [0.7, 0.7], axis=1) < 0.2)
+    # Equal-evidence modes: both populated, roughly evenly:
+    assert frac_mode1 > 0.2 and frac_mode2 > 0.2
+    # Analytic evidence: 2 * (1/2) * 2 pi sigma^2 (both gaussians
+    # fully inside the unit square):
+    logz_true = np.log(2 * np.pi * sigma**2)
+    assert abs(results['logz'] - logz_true) < 5 * results['logz_err'] + 0.2
