@@ -6,10 +6,22 @@ path expansion.  Reference behavior: pyratbay/tools/parser.py.
 """
 import configparser
 import os
+import warnings
 
 import numpy as np
 
 from .. import constants as pc
+
+# Renamed config keys (old -> new), warned and remapped at parse time:
+_DEPRECATED_KEYS = {
+    'extfile': 'sampled_cross_sec',
+    'csfile': 'continuum_cross_sec',
+    'wllow': 'wl_low',
+    'wlhigh': 'wl_high',
+    'vextent': 'voigt_extent',
+    'vcutoff': 'voigt_cutoff',
+    'mol_vars': 'vmr_vars',
+}
 
 __all__ = ['parse', 'Config']
 
@@ -134,6 +146,41 @@ def parse(cfile, root=None):
             f"Invalid configuration file: '{cfile}', no [pyrat] section"
         )
     raw = dict(ini.items('pyrat'))
+
+    # Deprecation shims for renamed keys/values (reference
+    # parser.py:651-757 warns the same way):
+    for old, new in _DEPRECATED_KEYS.items():
+        if old in raw:
+            warnings.warn(
+                f"'{old}' argument is deprecated, use '{new}' instead",
+                category=DeprecationWarning,
+            )
+            raw.setdefault(new, raw.pop(old))
+    if raw.get('runmode') == 'mcmc':
+        warnings.warn(
+            "The 'mcmc' option for the 'runmode' argument is "
+            "deprecated, use 'retrieval' instead",
+            category=DeprecationWarning,
+        )
+        raw['runmode'] = 'retrieval'
+    if raw.get('tmodel') == 'tcea':
+        warnings.warn(
+            "The 'tcea' tmodel is deprecated, use 'guillot' instead",
+            category=DeprecationWarning,
+        )
+        raw['tmodel'] = 'guillot'
+    if 'mcmcfile' in raw:
+        warnings.warn(
+            "'mcmcfile' argument is deprecated, output file names are "
+            'now based on logfile',
+            category=DeprecationWarning,
+        )
+    if 'gstar' in raw and 'log_gstar' not in raw:
+        warnings.warn(
+            "'gstar' argument is deprecated, use 'log_gstar' instead",
+            category=DeprecationWarning,
+        )
+        raw['log_gstar'] = str(np.log10(float(raw.pop('gstar'))))
 
     cfg = Config()
     cfg._raw = raw

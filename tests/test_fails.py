@@ -362,3 +362,22 @@ def test_invalid_isotope_filler(tmp_path):
             [f], pressure=press,
             isotope_ratios='161 161 fill_999',
         )
+
+
+@requires_reference
+def test_deprecated_keys_remap(tmp_path):
+    """Renamed config keys warn and remap (reference parser shims)."""
+    import warnings as _warnings
+    cfg = make_config(
+        tmp_path,
+        reset={'wllow': '1.2 um', 'runmode': 'mcmc'},
+        remove=['wl_low'],
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter('always')
+        parsed = cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+    messages = [str(w.message) for w in caught]
+    assert any("'wllow' argument is deprecated" in m for m in messages)
+    assert any("'mcmc' option" in m for m in messages)
+    assert parsed.runmode == 'retrieval'
+    assert parsed.wl_low is not None
