@@ -58,10 +58,12 @@ class Log:
         if self.file is not None and not self.file.closed:
             self.file.close()
 
-    def _emit(self, message, min_verb, indent=0, file=sys.stdout):
+    def _emit(self, message, min_verb, indent=0, file=None):
         text = textwrap.indent(str(message), ' ' * indent)
         if self.verb >= min_verb:
-            print(text, file=file)
+            # Resolve the stream at call time so runtime redirection
+            # (tests, tee wrappers) is honored:
+            print(text, file=sys.stdout if file is None else file)
         if self.file is not None and not self.file.closed:
             self.file.write(text + '\n')
             self.file.flush()
@@ -90,10 +92,18 @@ class Log:
         )
 
     def error(self, message):
-        """Log and raise: fatal configuration/runtime errors."""
-        self._emit(f'Error: {message}', -10**9)  # file only unless verb
+        """Log and raise: fatal configuration/runtime errors.
+
+        The message goes to the log file always, and to stderr only when
+        verb >= 0 (so muted rank != 0 processes stay silent); the raised
+        ValueError carries it to the caller regardless.
+        """
+        text = f'Error: {message}'
+        if self.file is not None and not self.file.closed:
+            self.file.write(text + '\n')
+            self.file.flush()
         if self.verb >= 0:
-            print(f'Error: {message}', file=sys.stderr)
+            print(text, file=sys.stderr)
         self.close()
         raise ValueError(message)
 
