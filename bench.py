@@ -100,6 +100,12 @@ def main():
         vs_baseline = spectra_per_s / (base_core * ncores)
 
     extras = {}
+    # Analytic FLOP estimate -> device FLOP rate (quantifies "fast"
+    # against the hardware, not only the C baseline):
+    try:
+        extras.update(_flop_metrics(model, obs, spectra_per_s))
+    except Exception as exc:
+        extras['flops_error'] = f'{type(exc).__name__}: {exc}'[:120]
     # Secondary: direct line-by-line sampling + tabulation throughput:
     try:
         extras.update(_lbl_rates())
@@ -110,6 +116,19 @@ def main():
         extras.update(_highres_rate())
     except Exception as exc:
         extras['highres_error'] = f'{type(exc).__name__}: {exc}'[:120]
+    # Batch x grid throughput curve (single chip):
+    if os.environ.get('PBT_BENCH_CURVES', '1') != '0':
+        try:
+            extras['throughput_curve'] = _throughput_curve()
+        except Exception as exc:
+            extras['curve_error'] = f'{type(exc).__name__}: {exc}'[:120]
+    # Wave-sharding scaling efficiency (CPU virtual devices, fixed
+    # total work; see pyratbay_tpu/scaling_probe.py):
+    if os.environ.get('PBT_BENCH_SCALING', '1') != '0':
+        try:
+            extras['scaling'] = _scaling_efficiency()
+        except Exception as exc:
+            extras['scaling_error'] = f'{type(exc).__name__}: {exc}'[:120]
 
     print(json.dumps({
         'metric': f'forward-model throughput ({backend}, batch={batch}, '
@@ -215,6 +234,121 @@ def _lbl_rates(n_iter=10, block=8):
     rates['tabulation_seconds'] = round(dt_tab, 2)
     rates['tabulation_compile_seconds'] = round(dt_compile, 2)
     return rates
+
+
+def _flop_metrics(model, obs, spectra_per_s):
+    """Analytic FLOP count per flagship forward + implied device rate.
+
+    Conservative op-count of the dominant terms (the model is
+    latency/small-shape-bound at the flagship size, so this quantifies
+    how far from the roofline it sits):
+      * transit optical depth: chord matmul raypath[L,L] @ ec[L,W];
+      * opacity sources: ~40 flops per (layer, wave) point across
+        line-sample T-interp, CIA interp, alkali, Rayleigh, clouds;
+      * transmission integral exp(-tau) * r trapezoid: ~8 per point;
+      * band integration matvec: 2 * nbands * W.
+    Peak for the MFU denominator: TPU v5e ~197 TFLOP/s bf16
+    (~1/4 of that for f32 VPU-bound work); reported against bf16 peak
+    to stay conservative.
+    """
+    L = model.nlayers
+    W = model.nwave
+    nbands = 0
+    band_matrix = getattr(obs, '_band_matrix', None)
+    if band_matrix is not None:
+        nbands = np.asarray(band_matrix).shape[0]
+    flops = 2.0 * L * L * W + 48.0 * L * W + 2.0 * nbands * W
+    tflops = flops * spectra_per_s / 1e12
+    return {
+        'est_flops_per_forward': round(flops / 1e6, 2),  # MFLOP
+        'est_device_tflops': round(tflops, 3),
+        'est_mfu_vs_bf16_peak_pct': round(100.0 * tflops / 197.0, 3),
+    }
+
+
+def _throughput_curve(n_iter=5):
+    """Batch x grid throughput points (spectra/s) on this chip.
+
+    Grids: wnstep=1 (~3.2k), R=25k (~10.9k), R=115k (~50k points over
+    1.1-1.7 um).  Combos whose vmapped intermediates exceed the HBM
+    budget are skipped and listed in 'skipped' (no silent caps).
+    """
+    import jax
+    import jax.numpy as jnp
+    from pyratbay_tpu.benchmark import make_flagship
+
+    grids = [
+        ('wnstep1', dict(wnstep=1.0)),
+        ('R25k', dict(wnstep=None, resolution=25000.0)),
+        ('R115k', dict(wnstep=None, resolution=115000.0)),
+    ]
+    batches = [64, 512, 4096]
+    hbm_budget = 10e9
+    points = []
+    skipped = []
+    for gname, gkw in grids:
+        model, obs, ret, forward, p0 = make_flagship(**gkw)
+        batched = jax.jit(jax.vmap(lambda p: forward(p)['bandflux']))
+        rng = np.random.default_rng(4)
+        for batch in batches:
+            # ~4 [L, W] f32 intermediates per chain in flight:
+            est_bytes = batch * model.nlayers * model.nwave * 4 * 4
+            if est_bytes > hbm_budget:
+                skipped.append({
+                    'grid': gname, 'batch': batch,
+                    'reason': f'est {est_bytes / 1e9:.1f} GB > HBM budget',
+                })
+                continue
+            params = jnp.asarray(
+                (np.tile(p0, (batch, 1))
+                 + 0.01 * rng.standard_normal((batch, len(p0)))
+                 ).astype(np.float32),
+            )
+            dt = _rate(lambda: batched(params), n_iter)
+            points.append({
+                'grid': gname, 'nwave': int(model.nwave), 'batch': batch,
+                'spectra_per_s': round(batch / dt, 1),
+                'wave_points_per_s': round(batch * model.nwave / dt, 1),
+            })
+    return {'points': points, 'skipped': skipped}
+
+
+def _scaling_efficiency(device_counts=(1, 2, 4, 8), timeout=600):
+    """Fixed-total-work wave-sharding efficiency on N virtual CPU
+    devices: efficiency(N) = t(1)/t(N) (see scaling_probe.py)."""
+    import json as _json
+    import subprocess
+
+    results = {}
+    for n in device_counts:
+        env = dict(os.environ)
+        env.pop('JAX_PLATFORMS', None)
+        env.pop('XLA_FLAGS', None)
+        proc = subprocess.run(
+            [sys.executable, '-m', 'pyratbay_tpu.scaling_probe', str(n)],
+            capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ''
+        if proc.returncode != 0 or not line.startswith('{'):
+            results[str(n)] = {'error': (proc.stderr or 'no output')[-200:]}
+            continue
+        results[str(n)] = _json.loads(line)
+    base = results.get('1', {}).get('sec_per_batch')
+    eff = {}
+    if base:
+        for n in device_counts:
+            t_n = results.get(str(n), {}).get('sec_per_batch')
+            if t_n:
+                eff[str(n)] = round(base / t_n, 3)
+    return {
+        'mode': 'fixed-total-work wave sharding (virtual CPU devices)',
+        'sec_per_batch': {
+            k: round(v['sec_per_batch'], 5)
+            for k, v in results.items() if 'sec_per_batch' in v
+        },
+        'efficiency_vs_1dev': eff,
+    }
 
 
 def _highres_rate(n_iter=5, batch=64):
