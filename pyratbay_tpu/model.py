@@ -871,6 +871,8 @@ class Model:
             )
             result['cloudy'] = cloudy
             result['clear'] = clear
+            result['depth_clear'] = depth_clear
+            result['ideep_clear'] = ideep_clear
             result['spectrum'] = fpatchy * cloudy + (1 - fpatchy) * clear
         return result
 
@@ -1008,6 +1010,21 @@ class Model:
         self.spectrum = np.asarray(result['spectrum'])
         self.depth = result.get('depth')
         self.ideep = result.get('ideep')
+        # Patchy split components (reference spec.clear/spec.cloudy,
+        # pyrat/spectrum.py:351-409) + emission Planck grid, kept for
+        # contribution-function diagnostics (band_contribution):
+        self.clear = (
+            None if 'clear' not in result
+            else np.asarray(result['clear'])
+        )
+        self.cloudy = (
+            None if 'cloudy' not in result
+            else np.asarray(result['cloudy'])
+        )
+        self.depth_clear = result.get('depth_clear')
+        self.ideep_clear = result.get('ideep_clear')
+        self.bbody = result.get('bbody')
+        self._last_fpatchy = fpatchy
         self.temp = np.asarray(temp)
         self.radius = None if radius is None else np.asarray(radius)
         self.vmr = np.asarray(vmr)
@@ -1043,7 +1060,15 @@ class Model:
         for (mtype, model, imol), pars in zip(
                 self.opacity_models, pars_list):
             if model.name == 'deck':
-                rows.append(jnp.zeros((1, self.nwave)))
+                # Reference get_ec deck row: a 0/1 flag for whether the
+                # requested layer is below the cloud top
+                # (clouds/gray.py:146-149):
+                itop = np.asarray(
+                    model.surface(radius, temp, pars)[0],
+                )
+                rows.append(jnp.full(
+                    (1, self.nwave), float(int(layer > itop)),
+                ))
                 labels.append('deck')
                 continue
             if mtype == 'line_sample':
@@ -1085,6 +1110,74 @@ class Model:
                 labels.append(model.name)
             rows.append(contrib[layer][None, :])
         return jnp.concatenate(rows, axis=0), labels
+
+    def band_contribution(self, obs, result=None):
+        """Band-averaged contribution functions (emission) or
+        transmittances (transmission) at each band of `obs`.
+
+        Reference semantics (pyrat/pyrat_obj.py:671-696 +
+        spectrum/contribution_funcs.py): transit geometry gives the
+        patchy-mixed transmittance e^-tau; emission gives the Knutson
+        et al. (2009) contribution function B * d(e^-tau)/dlnp; both are
+        response-weighted over each band and max-normalized per band.
+
+        result: an RT output dict (from run() or a build_forward call)
+        holding depth/ideep/bbody/...; defaults to the state stored by
+        the last run().  Returns [nlayers, nbands] (numpy).
+        """
+        from .spectrum import contribution as cfuncs
+        if result is not None:
+            depth = result['depth']
+            ideep = result['ideep']
+            bbody = result.get('bbody')
+            depth_clear = result.get('depth_clear')
+            ideep_clear = result.get('ideep_clear')
+            fpatchy = result.get('fpatchy', self.fpatchy)
+        else:
+            depth, ideep, bbody = self.depth, self.ideep, self.bbody
+            depth_clear = self.depth_clear
+            ideep_clear = self.ideep_clear
+            fpatchy = self._last_fpatchy
+        if depth is None:
+            raise ValueError(
+                'Cannot compute band contributions before run()'
+            )
+        if getattr(obs, '_band_matrix', None) is None:
+            raise ValueError(
+                'Undefined observation filters, needed for band '
+                'contribution functions'
+            )
+        if self.rt_path in pc.TRANSMISSION_RT:
+            contrib = cfuncs.transmittance(depth, ideep)
+            if self.is_patchy and depth_clear is not None:
+                contrib_clear = cfuncs.transmittance(
+                    depth_clear, ideep_clear,
+                )
+                contrib = (
+                    fpatchy * contrib + (1.0 - fpatchy) * contrib_clear
+                )
+        else:
+            # The reference's stored emission depth is 0 beyond ideep
+            # (the C kernel stops at maxdepth and leaves the rest of the
+            # column untouched); its CF then vanishes there via the
+            # detau > 0.1 discontinuity mask.  Our masked full-depth
+            # integration computes real values below ideep, so clamp to
+            # the reference semantics before differencing:
+            lay = jnp.arange(self.nlayers)[:, None]
+            depth_cf = jnp.where(
+                lay > jnp.asarray(ideep)[None, :], 0.0, depth,
+            )
+            contrib = cfuncs.contribution_function(
+                depth_cf, self.press, bbody,
+            )
+        # Raw response x trapezoid weights (the reference's band_cf uses
+        # the un-normalized response, not the photon-counting band
+        # integration weights; contribution_funcs.py:74-111):
+        from .spectrum.passbands import band_cf_matrix
+        band_weights = jnp.asarray(
+            band_cf_matrix(obs.filters, self.nwave),
+        )
+        return np.asarray(cfuncs.band_cf(contrib, band_weights))
 
     def __str__(self):
         from .tools import Formatted_Write

@@ -279,18 +279,38 @@ def post_process(model, obs, ret, forward, results):
         log.warning(f'Spectrum posterior failed: {exc}')
 
     # Posterior-median atmosphere dump (.atm):
+    median_vmr = None
     try:
         medianp = np.asarray(results['posterior']).copy()
         med = np.median(medianp, axis=0)
         out = forward(med)
         temp = np.asarray(out['temperature'])
-        vmr = np.asarray(model.eval_vmr(temp=temp))
+        vmr = median_vmr = np.asarray(model.eval_vmr(temp=temp))
         pio.write_atm(
             base + '_median.atm', model.press, temp, model.species,
             vmr, punits='bar',
         )
     except Exception as exc:
         log.warning(f'Posterior atmosphere dump failed: {exc}')
+
+    # Band contribution functions (emission) / transmittances (transit)
+    # at the best fit (reference pyrat_obj.py:538-548, 671-696):
+    band_cf = None
+    try:
+        if obs is not None and obs.nbands and model.bestp is not None:
+            best_out = forward(model.bestp)
+            band_cf = model.band_contribution(obs, result=best_out)
+            np.savez(
+                base + '_band_contribution.npz',
+                press=np.asarray(model.press), band_cf=band_cf,
+                band_wl=np.asarray(obs.band_wl),
+            )
+            log.msg(
+                f'Band contribution functions written to '
+                f'{base}_band_contribution.npz'
+            )
+    except Exception as exc:
+        log.warning(f'Band contribution functions failed: {exc}')
 
     # Plots (headless-safe):
     try:
@@ -323,6 +343,17 @@ def post_process(model, obs, ret, forward, results):
                 model.press, profiles=[tpost[0]],
                 bounds=(tpost[1], tpost[2], tpost[3], tpost[4]),
                 filename=base + '_temperature.png',
+            )
+        if band_cf is not None:
+            plots.contribution(
+                band_cf, np.asarray(obs.band_wl),
+                np.asarray(model.press),
+                filename=base + '_band_contribution.png',
+            )
+        if median_vmr is not None:
+            plots.abundance(
+                median_vmr, np.asarray(model.press), model.species,
+                filename=base + '_abundance.png',
             )
         log.msg(f'Plots written to {base}_*.png')
     except Exception as exc:

@@ -245,7 +245,21 @@ def build_forward(model, obs=None, ret=None, dtype=None):
             'spectrum': spectrum,
             'temperature': temp,
             'good': good,
+            # RT diagnostics: enough state to compute contribution
+            # functions / transmittances post-run (the reference's
+            # band_contribution inputs, pyrat_obj.py:671-696).  Unused
+            # outputs are dead-code-eliminated from the retrieval hot
+            # path's own jit trace.
+            'depth': result['depth'],
+            'ideep': result['ideep'],
+            'fpatchy': (
+                fpatchy if fpatchy is not None else jnp.asarray(1.0)
+            ),
         }
+        for key in ('bbody', 'depth_clear', 'ideep_clear',
+                    'clear', 'cloudy'):
+            if key in result:
+                out[key] = result[key]
         if obs is not None and obs.nbands:
             bandflux = obs.band_integrate(spectrum)
             bandflux = jnp.where(good, bandflux, jnp.inf)

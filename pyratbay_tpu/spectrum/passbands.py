@@ -199,6 +199,20 @@ def band_matrix(bands, nwave):
     return np.stack([band.weights(nwave) for band in bands])
 
 
+def band_cf_matrix(bands, nwave):
+    """Raw response-weighted trapezoid rows for contribution functions.
+
+    The reference's band_cf integrates trapz(cf * response, wn) with the
+    RAW max-normalized response -- no photon-counting wl factor and no
+    height normalization (spectrum/contribution_funcs.py:74-111); the
+    per-band scale cancels in band_cf's max-normalization.
+    """
+    matrix = np.zeros((len(bands), nwave))
+    for i, band in enumerate(bands):
+        matrix[i, band.idx] = _trapz_weights(band.wn) * band.response
+    return matrix
+
+
 def bin_spectrum(bin_wl, wl, spectrum, half_widths=None, gaps=None):
     """Bin a spectrum down to the bin_wl sampling via tophat bands."""
     if gaps is not None and gaps not in ('interpolate', 'ignore'):

@@ -24,6 +24,9 @@ import numpy as np
 
 REFERENCE_ROOT = '/root/reference/'
 BUILD_DIR = '/tmp/pbt_refrun'
+# Bump when build contents or the run template change (invalidates the
+# .build_ok marker and the per-test npz caches):
+BUILD_VERSION = '2'
 
 _MC3_UTILS = '''
 """Minimal mc3.utils stand-in: the Log screen+file tee."""
@@ -137,7 +140,7 @@ def build_reference(dest=BUILD_DIR):
     """Copy + compile the reference into `dest`; returns the import
     root (prepend to PYTHONPATH) or None when unavailable."""
     marker = os.path.join(dest, '.build_ok')
-    if os.path.isfile(marker):
+    if os.path.isfile(marker) and open(marker).read() == BUILD_VERSION:
         return dest
     if not os.path.isdir(REFERENCE_ROOT + 'pyratbay'):
         return None
@@ -149,8 +152,10 @@ def build_reference(dest=BUILD_DIR):
             REFERENCE_ROOT + 'pyratbay', os.path.join(dest, 'pyratbay'),
         )
         # The reference resolves {ROOT} to its install dir; mirror its
-        # tests tree (mock inputs + configs) and a writable outputs/:
-        for sub in ('tests/inputs', 'tests/configs', 'tests/expected'):
+        # tests tree (mock inputs + configs + filters) and a writable
+        # outputs/:
+        for sub in ('tests/inputs', 'tests/configs', 'tests/expected',
+                    'tests/filters'):
             shutil.copytree(
                 REFERENCE_ROOT + sub, os.path.join(dest, sub),
             )
@@ -181,7 +186,7 @@ def build_reference(dest=BUILD_DIR):
             if result.returncode != 0:
                 return None
         with open(marker, 'w') as f:
-            f.write('ok')
+            f.write(BUILD_VERSION)
         return dest
     except (OSError, subprocess.SubprocessError):
         return None
@@ -205,21 +210,34 @@ if hasattr(result, 'spec') and result.spec is not None \\
         and getattr(result.spec, 'spectrum', None) is not None:
     out['spectrum'] = np.asarray(result.spec.spectrum)
     out['wn'] = np.asarray(result.spec.wn)
+    for attr in ('clear', 'cloudy'):
+        val = getattr(result.spec, attr, None)
+        if val is not None:
+            out[attr] = np.asarray(val)
 if hasattr(result, 'ex') and getattr(result.ex, 'etable', None) is not None:
     out['etable'] = np.asarray(result.ex.etable)
     out['temp'] = np.asarray(result.ex.temp)
+# Arbitrary extra extraction code (has `result`, `out`, `np` in scope):
+{post}
 np.savez({out!r}, **out)
 '''
 
 
-def run_reference(cfg_file, out_file, skip=None, timeout=600):
+def run_reference(cfg_file, out_file, skip=None, timeout=600, post=''):
     """Run `pb.run(cfg_file)` in a subprocess; returns the loaded npz
-    dict, or raises on failure."""
+    dict, or raises on failure.
+
+    post: extra python code executed after the run with `result` (the
+    Pyrat object), `out` (the npz dict), and `np` in scope -- used to
+    extract diagnostics beyond the spectrum (contribution functions,
+    per-model extinction, eval() outputs).
+    """
     dest = build_reference()
     if dest is None:
         raise RuntimeError('reference build unavailable')
     script = _RUN_TEMPLATE.format(
         dest=dest, cfg=cfg_file, out=out_file, skip=skip or [],
+        post=post,
     )
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'

@@ -43,12 +43,14 @@ def _write_cfg(name, base, reset={}, remove=[]):
     return cfg_file
 
 
-def _ref_run(name, cfg_file, skip=None):
-    """Cached reference subprocess run."""
-    out_file = os.path.join(CACHE, name + '.npz')
+def _ref_run(name, cfg_file, skip=None, post=''):
+    """Cached reference subprocess run (cache keyed by build version)."""
+    out_file = os.path.join(
+        CACHE, f'{name}_v{refrunner.BUILD_VERSION}.npz',
+    )
     if os.path.isfile(out_file):
         return dict(np.load(out_file))
-    return refrunner.run_reference(cfg_file, out_file, skip=skip)
+    return refrunner.run_reference(cfg_file, out_file, skip=skip, post=post)
 
 
 @pytest.fixture(scope='session')
@@ -275,6 +277,61 @@ def test_ref_parity_transmission_skip_lbl(ref_root, mock_tli):
         reset={'tlifile': mock_tli},
         remove=['sampled_cross_sec'],
         ref_skip=['lbl'], my_skip=('lbl',),
+    )
+
+
+# ---------------------------------------------------------------------
+# Per-model extinction diagnostic (get_ec):
+
+_POST_GET_EC = '''
+ec, labels = result.get_ec(31)
+out['get_ec'] = np.asarray(ec)
+out['get_ec_labels'] = np.asarray(labels)
+'''
+
+
+def _get_ec_compare(name, ref_root, reset, remove=[]):
+    """Reference get_ec(layer=31) == Model.get_ec(31), label-matched."""
+    from pyratbay_tpu.model import Model
+    reset = {
+        'logfile': f'{{ROOT}}tests/outputs/{name}.log',
+        **MOCK_WL, **reset,
+    }
+    cfg = _write_cfg(
+        name, TRANSMISSION.format(ref_root), reset=reset, remove=remove,
+    )
+    ref = _ref_run(name, cfg, post=_POST_GET_EC)
+    ref_rows = dict(zip(
+        [str(lab) for lab in ref['get_ec_labels']], ref['get_ec'],
+    ))
+
+    model = Model(cfg, root=ref_root)
+    model.run()
+    ec, labels = model.get_ec(31)
+    ec = np.asarray(ec)
+    assert sorted(labels) == sorted(ref_rows)
+    for row, label in zip(ec, labels):
+        ref_row = ref_rows[label]
+        floor = 1e-10 * max(ref_row.max(), 1e-300)
+        np.testing.assert_allclose(
+            row, ref_row, rtol=RTOL, atol=floor, err_msg=label,
+        )
+
+
+def test_ref_parity_get_ec_ls(ref_root, mock_exttable):
+    """get_ec over the line-sample + CIA + alkali + cloud stack."""
+    _get_ec_compare(
+        'ec_diag_ls', ref_root,
+        reset={'sampled_cross_sec': mock_exttable},
+    )
+
+
+def test_ref_parity_get_ec_lbl(ref_root, mock_tli):
+    """get_ec over the line-by-line chain."""
+    _get_ec_compare(
+        'ec_diag_lbl', ref_root,
+        reset={'tlifile': mock_tli},
+        remove=['sampled_cross_sec'],
     )
 
 
