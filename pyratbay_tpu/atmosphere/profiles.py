@@ -156,13 +156,33 @@ def madhu_tp(press):
 
 
 def get_tmodel(name, press, gravity=None):
-    """Temperature model factory by registry name."""
+    """Temperature model factory by registry name.
+
+    The returned callable validates the parameter count at trace time
+    with the reference's message (tmodels.py:20-32) and carries .name
+    and .npars attributes.
+    """
     if name == 'isothermal':
-        return isothermal_tp(press)
-    if name in ('guillot', 'tcea'):
-        return guillot_tp(press, gravity)
-    if name == 'madhu':
-        return madhu_tp(press)
-    raise ValueError(
-        f"Invalid temperature model '{name}', select from {pc.TMODELS}"
-    )
+        fn = isothermal_tp(press)
+    elif name in ('guillot', 'tcea'):
+        fn = guillot_tp(press, gravity)
+    elif name == 'madhu':
+        fn = madhu_tp(press)
+    else:
+        raise ValueError(
+            f"Invalid temperature model '{name}', select from {pc.TMODELS}"
+        )
+    npars = len(TMODEL_PNAMES[name])
+
+    def checked(params):
+        if np.size(params) != npars:
+            raise ValueError(
+                f'Number of temperature parameters ({np.size(params)}) '
+                'does not match the required number of parameters '
+                f'({npars}) of the {name} model'
+            )
+        return fn(params)
+
+    checked.name = name
+    checked.npars = npars
+    return checked

@@ -102,6 +102,137 @@ _STRING_ARRAYS = {
     'h_ion', 'filters', 'escale',
 }
 
+# Numeric-bound validations, matching the reference's get_default /
+# get_param checks (tools/parser.py:126-168, 744-1102).  Each entry is
+# key -> (description, gt, ge, lt, le); the raised message is the
+# reference's '{desc} ({key}) must be > {bound}' format:
+_BOUNDS = {
+    'verb': ('Verbosity', None, None, 5, None),
+    'wnlow': ('Wavenumber lower boundary', 0.0, None, None, None),
+    'wnhigh': ('Wavenumber higher boundary', 0.0, None, None, None),
+    'wnstep': ('Wavenumber sampling step', 0.0, None, None, None),
+    'wnosamp': ('Wavenumber oversampling factor', None, 1, None, None),
+    'resolution': ('Spectral resolution', 0.0, None, None, None),
+    'wl_thinning': (
+        'Wavelength-sampling thinning factor for Line_Sample opacities',
+        None, 1, None, None),
+    'nlayers': ('Number of atmospheric layers', 1, None, None, None),
+    'gplanet': ('Planetary surface gravity (cm s-2)', 0.0, None, None, None),
+    'tint': ('Planetary internal temperature', None, 0.0, None, None),
+    'tstar': ('Stellar effective temperature (K)', 0.0, None, None, None),
+    'voigt_extent': (
+        'Voigt profile extent in HWHM', None, 1.0, None, None),
+    'voigt_cutoff': (
+        'Voigt profile cutoff in cm-1', None, 0.0, None, None),
+    'ndop': ('Number of Doppler-width samples', None, 1, None, None),
+    'nlor': ('Number of Lorentz-width samples', None, 1, None, None),
+    'dmin': ('Minimum Doppler HWHM (cm-1)', 0.0, None, None, None),
+    'dmax': ('Maximum Doppler HWHM (cm-1)', 0.0, None, None, None),
+    'lmin': ('Minimum Lorentz HWHM (cm-1)', 0.0, None, None, None),
+    'lmax': ('Maximum Lorentz HWHM (cm-1)', 0.0, None, None, None),
+    'dlratio': (
+        'Doppler/Lorentz-width ratio threshold', 0.0, None, None, None),
+    'tmin': ('Minimum temperature of opacity grid', 0.0, None, None, None),
+    'tmax': ('Maximum temperature of opacity grid', 0.0, None, None, None),
+    'tstep': (
+        "Opacity grid's temperature sampling step in K",
+        0.0, None, None, None),
+    'fpatchy': ('Patchy-cloud fraction', None, 0.0, None, 1.0),
+    'alkali_cutoff': (
+        'Alkali profiles hard cutoff from line center (cm-1)',
+        0.0, None, None, None),
+    'ethresh': ('Extinction-cofficient threshold', 0.0, None, None, None),
+    'maxdepth': ('Maximum optical-depth', None, 0.0, None, None),
+    'quadrature': (
+        'Number of Gaussian-quadrature points', None, 1, None, None),
+    'f_dilution': ('Flux dilution factor', None, 0.0, None, 1.0),
+    'qcap': ('Metals volume-mixing-ratio cap', 0.0, None, None, 1.0),
+    'nsamples': ('Number of MCMC samples', 0, None, None, None),
+    'burnin': ('Number of burn-in samples per chain', 0, None, None, None),
+    'thinning': ('MCMC posterior thinning', None, 1, None, None),
+    'nchains': ('Number of MCMC parallel chains', None, 1, None, None),
+    'ncpu': ('Number of processors', None, 1, None, None),
+    'grbreak': (
+        'Gelman-Rubin convergence criteria', None, 0, None, None),
+    'grnmin': (
+        'Gelman-Rubin convergence fraction', 0.0, None, None, None),
+    'nlive': (
+        'Number of Nested Sampling live points', 0, None, None, None),
+    'dt_retrieval_snapshot': (
+        'Take a snapshot of the posterior during a retrieval d_time',
+        None, 0.0, None, None),
+    'inst_resolution': ('Instrumental resolution', 0.0, None, None, None),
+}
+
+
+def _parse_int_value(key, value):
+    """Reference parse_int: accept integral float-strings, raise the
+    reference's message otherwise (tools/parser.py:238-290)."""
+    try:
+        val = np.double(value)
+    except ValueError:
+        raise ValueError(
+            f'Invalid data type for {key}, could not convert string '
+            f"to integer: '{value}'"
+        )
+    if not np.isfinite(val) or int(val) != val:
+        raise ValueError(
+            f'Invalid data type for {key}, could not convert string '
+            f"to integer: '{value}'"
+        )
+    return int(val)
+
+
+def _parse_float_value(key, value):
+    """Reference parse_float message (tools/parser.py:293-330)."""
+    try:
+        return float(value)
+    except ValueError:
+        raise ValueError(
+            f'Invalid data type for {key}, could not convert string '
+            f"to float: '{value}'"
+        )
+
+
+def _parse_bool_value(key, value):
+    """Reference parse_bool semantics (tools/parser.py:215-227)."""
+    if value.lower() in ('false', '0', 'no'):
+        return False
+    if value.lower() in ('true', '1', 'yes'):
+        return True
+    raise ValueError(
+        f"Invalid data type for parameter '{key}', could not "
+        f"convert string '{value}' to bool"
+    )
+
+
+def _check_bounds(cfg):
+    """Apply the _BOUNDS table (reference get_default messages)."""
+    for key, (desc, gt, ge, lt, le) in _BOUNDS.items():
+        value = cfg.get(key)
+        if value is None:
+            continue
+        if gt is not None and value <= gt:
+            raise ValueError(f'{desc} ({key}) must be > {gt}')
+        if ge is not None and value < ge:
+            raise ValueError(f'{desc} ({key}) must be >= {ge}')
+        if lt is not None and lt <= value:
+            raise ValueError(f'{desc} ({key}) must be < {lt}')
+        if le is not None and le < value:
+            raise ValueError(f'{desc} ({key}) must be <= {le}')
+
+
+def _check_units(desc, key, units):
+    """Reference unit-name validation (parser.py:763, 793, 809, ...)."""
+    if units is not None and units not in pc._UNITS:
+        raise ValueError(f'Invalid {desc} units ({key}): {units}')
+
+
+def _invalid_choice(desc, key, value, choices):
+    return ValueError(
+        f"Invalid {desc} ({key}): '{value}'. Select from: {list(choices)}"
+    )
+
 
 def parse_var_vals(info):
     """Parse a multi-line '<name> <val1> <val2> ...' block.
@@ -194,14 +325,18 @@ def parse(cfile, root=None):
         cfg.__dict__[key] = raw.get(key)
     for key in _INT_KEYS:
         val = raw.get(key)
-        cfg.__dict__[key] = None if val is None else int(val)
+        cfg.__dict__[key] = (
+            None if val is None else _parse_int_value(key, val)
+        )
     for key in _FLOAT_KEYS:
         val = raw.get(key)
-        cfg.__dict__[key] = None if val is None else float(val)
+        cfg.__dict__[key] = (
+            None if val is None else _parse_float_value(key, val)
+        )
     for key in _BOOL_KEYS:
         val = raw.get(key)
         cfg.__dict__[key] = (
-            None if val is None else val.lower() in ('true', '1', 'yes')
+            None if val is None else _parse_bool_value(key, val)
         )
     for key in _ARRAY_KEYS:
         val = raw.get(key)
@@ -234,9 +369,10 @@ def parse(cfile, root=None):
 
     # ---- Derived values and defaults (reference parser.py:651-1010) ----
     cfg.verb = 2 if cfg.verb is None else cfg.verb
+    _check_bounds(cfg)
     if cfg.runmode not in pc.RUN_MODES:
-        raise ValueError(
-            f"Invalid runmode '{cfg.runmode}', select from {pc.RUN_MODES}"
+        raise _invalid_choice(
+            'running mode', 'runmode', cfg.runmode, pc.RUN_MODES,
         )
 
     cfg.sampled_cs = cfg.sampled_cross_sec
@@ -244,6 +380,7 @@ def parse(cfile, root=None):
 
     # Wavelength bounds carry units ('um' default):
     wlunits = cfg.wlunits
+    _check_units('wavelength', 'wlunits', wlunits)
     for key in ('wl_low', 'wl_high', 'wlstep'):
         if wlunits is None:
             wlunits = _get_units(raw.get(key))
@@ -259,16 +396,21 @@ def parse(cfile, root=None):
 
     # Radii:
     runits = cfg.runits
+    _check_units('radius', 'runits', runits)
     if runits is None:
         runits = _get_units(raw.get('rplanet'))
     cfg.runits = runits
     cfg.rplanet = pc.get_param(cfg.rplanet, runits, gt=0.0)
     cfg.rmodelname = cfg.radmodel
     if cfg.rmodelname is not None and cfg.rmodelname not in pc.RAD_MODELS:
-        raise ValueError(f"Invalid radmodel '{cfg.rmodelname}'")
+        raise _invalid_choice(
+            'Radius-profile model', 'radmodel', cfg.rmodelname,
+            pc.RAD_MODELS,
+        )
 
     # Pressures (internally in bar):
     punits = cfg.punits
+    _check_units('pressure', 'punits', punits)
     for key in ('pbottom', 'ptop', 'refpressure'):
         if punits is None:
             punits = _get_units(raw.get(key))
@@ -285,7 +427,9 @@ def parse(cfile, root=None):
         cfg.chemistry = {'uniform': 'free', 'tea': 'equilibrium'}[
             cfg.chemistry]
     if cfg.chemistry is not None and cfg.chemistry not in pc.CHEM_MODELS:
-        raise ValueError(f"Invalid chemistry model '{cfg.chemistry}'")
+        raise _invalid_choice(
+            'Chemical model', 'chemistry', cfg.chemistry, pc.CHEM_MODELS,
+        )
     if cfg.get('xsolar') is not None:
         cfg.vmr_vars = (
             (cfg.vmr_vars or '') + f'\n[M/H] {np.log10(cfg.xsolar)}'
@@ -299,6 +443,8 @@ def parse(cfile, root=None):
             )
 
     # System parameters (CGS):
+    _check_units('planet mass', 'mpunits', cfg.mpunits)
+    _check_units('data', 'dunits', cfg.dunits)
     mass_units = cfg.mpunits or _get_units(raw.get('mplanet'))
     cfg.mass_units = mass_units
     cfg.mplanet = pc.get_param(cfg.mplanet, mass_units, gt=0.0)
@@ -327,11 +473,15 @@ def parse(cfile, root=None):
     if cfg.rayleigh is not None:
         for name in cfg.rayleigh:
             if name not in pc.RAYLEIGH_MODELS:
-                raise ValueError(f"Invalid Rayleigh model '{name}'")
+                raise _invalid_choice(
+                    'Rayleigh model', 'rayleigh', name, pc.RAYLEIGH_MODELS,
+                )
     if cfg.alkali is not None:
         for name in cfg.alkali:
             if name not in pc.ALKALI_MODELS:
-                raise ValueError(f"Invalid alkali model '{name}'")
+                raise _invalid_choice(
+                    'alkali model', 'alkali', name, pc.ALKALI_MODELS,
+                )
     cfg.alkali_models = cfg.alkali
     cfg.alkali_cutoff = (
         4500.0 if cfg.alkali_cutoff is None else cfg.alkali_cutoff
@@ -339,13 +489,22 @@ def parse(cfile, root=None):
     cloud_names, _ = parse_var_vals(cfg.clouds)
     for name in cloud_names:
         if name not in pc.CLOUD_MODELS:
-            raise ValueError(f"Invalid cloud model '{name}'")
+            raise _invalid_choice(
+                'cloud model', 'clouds', name, pc.CLOUD_MODELS,
+            )
+    if cfg.h_ion is not None:
+        for name in cfg.h_ion:
+            if name not in pc.H_ION_MODELS:
+                raise _invalid_choice(
+                    'H- opacity model', 'h_ion', name, pc.H_ION_MODELS,
+                )
     cfg.h_ion_model = None if cfg.h_ion is None else cfg.h_ion[0]
 
     # RT:
     if cfg.rt_path is not None and cfg.rt_path not in pc.RT_PATHS:
-        raise ValueError(
-            f"Invalid rt_path '{cfg.rt_path}', select from {pc.RT_PATHS}"
+        raise _invalid_choice(
+            'radiative-transfer observing geometry', 'rt_path',
+            cfg.rt_path, pc.RT_PATHS,
         )
     cfg.maxdepth = 10.0 if cfg.maxdepth is None else cfg.maxdepth
     if cfg.raygrid is None:
@@ -353,6 +512,12 @@ def parse(cfile, root=None):
 
     cfg.tmodelname = cfg.tmodel
     if cfg.tmodelname is not None and cfg.tmodelname not in pc.TMODELS:
-        raise ValueError(f"Invalid tmodel '{cfg.tmodelname}'")
+        raise _invalid_choice(
+            'temperature model', 'tmodel', cfg.tmodelname, pc.TMODELS,
+        )
+    if cfg.sampler is not None and cfg.sampler not in pc.SAMPLERS:
+        raise _invalid_choice(
+            'posterior sampler', 'sampler', cfg.sampler, pc.SAMPLERS,
+        )
 
     return cfg

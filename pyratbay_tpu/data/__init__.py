@@ -39,6 +39,63 @@ def tips_table():
     return data, temp, mol_ids
 
 
+def list_cia():
+    """Bundled collision-induced-absorption tables (Borysow data,
+    converted to npz; the reference ships the same published tables
+    under pyratbay/data/CIA/)."""
+    cia_dir = os.path.join(_DATA_DIR, 'cia')
+    return sorted(
+        os.path.splitext(f)[0] for f in os.listdir(cia_dir)
+        if f.endswith('.npz')
+    )
+
+
+def cia_file(name):
+    """Path of a bundled CIA table.
+
+    `name` may be the full table name, a '.dat' reference-style
+    basename, or a species pair like 'H2H2' / 'H2He' (the first match
+    by temperature coverage wins).
+    """
+    stem = os.path.splitext(os.path.basename(str(name)))[0]
+    available = list_cia()
+    if stem in available:
+        return os.path.join(_DATA_DIR, 'cia', stem + '.npz')
+    matches = [cia for cia in available if f'_{stem}_' in cia]
+    if matches:
+        return os.path.join(_DATA_DIR, 'cia', matches[0] + '.npz')
+    raise FileNotFoundError(
+        f"No bundled CIA table matching '{name}'; available: {available}"
+    )
+
+
+@functools.lru_cache(maxsize=1)
+def _filter_bundle():
+    with np.load(os.path.join(_DATA_DIR, 'filters.npz')) as f:
+        return {key: f[key] for key in f.files}
+
+
+def list_filters():
+    """Bundled instrument passband names (CHEOPS, Kepler, Spitzer
+    IRAC/MIPS, TESS; the reference ships the same published response
+    curves under pyratbay/data/filters/)."""
+    return sorted(
+        key[:-3] for key in _filter_bundle() if key.endswith('_wl')
+    )
+
+
+def filter_response(name):
+    """(wl [um], response) arrays of a bundled instrument passband."""
+    bundle = _filter_bundle()
+    key = str(name).lower()
+    if key + '_wl' not in bundle:
+        raise FileNotFoundError(
+            f"No bundled filter named '{name}'; available: "
+            f'{list_filters()}'
+        )
+    return bundle[key + '_wl'], bundle[key + '_response']
+
+
 def get_iso(molname):
     """Isotope names (exomol notation), masses, and ratios for a molecule.
 

@@ -103,7 +103,32 @@ def _dispatch(cfg, runmode, root, log):
 
     if runmode == 'radeq':
         from .spectrum.radeq import radiative_equilibrium
-        radiative_equilibrium(model)
+        # Reference semantics (pyrat_obj.py:588-611): iteration count
+        # from the config, temperature clips from the opacity models'
+        # common validity range, warm restart via resume:
+        nsamples = cfg.nsamples or 100
+        tmin = max(model.tmin.values(), default=0.0)
+        tmax = min(model.tmax.values(), default=6000.0)
+        warm = {}
+        if cfg.resume and getattr(model, 'radeq_temps', None) is not None:
+            warm = dict(
+                radeq_temps=model.radeq_temps,
+                dt_scale=model._dt_scale,
+            )
+        temps = radiative_equilibrium(
+            model, nsamples=int(nsamples), tmin=tmin, tmax=tmax, **warm,
+        )
+        if cfg.logfile is not None:
+            import os
+            base = os.path.splitext(cfg.logfile)[0]
+            np.savez(
+                base + '.npz', pressure=model.press, temps=temps,
+            )
+            pio.write_atm(
+                base + '.atm', model.press, temps[-1], model.species,
+                model.base_vmr, punits='bar',
+            )
+        log.summary(getattr(model, 'timestamps', None))
         return model
 
     if runmode == 'retrieval':

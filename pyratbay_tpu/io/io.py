@@ -256,11 +256,19 @@ def read_opacity(ofile, extract='all'):
 # Collision-induced absorption tables
 
 def read_cs(csfile):
-    """Read a CIA cross-section file.
+    """Read a CIA cross-section file (text format or bundled .npz).
 
     Returns (absorption [ntemp, nwave], species list, temps [K],
     wn [cm-1]).  The table is in cm-1 amagat-N units (N = len(species)).
     """
+    if str(csfile).endswith('.npz'):
+        with np.load(csfile) as f:
+            return (
+                np.asarray(f['cross_section'], float),
+                [str(s) for s in f['species']],
+                np.asarray(f['temps'], float),
+                np.asarray(f['wn'], float),
+            )
     species = None
     temps = None
     data = []

@@ -7,6 +7,8 @@ tables once; the forward evaluation
 is a pure function suitable for jax.jit / vmap (retrieval ensembles) /
 shard_map (multi-chip).
 """
+import os
+
 import numpy as np
 import scipy.constants as sc
 import jax
@@ -178,8 +180,11 @@ class Model:
                 cfg.tmodelname, self.press,
             )
             # The model takes precedence over any input profile, so its
-            # parameters are required (reference test_transmission.py:321):
-            if self.tpars is None:
+            # parameters are required (reference test_transmission.py:321)
+            # -- unless a retrieval_params block may provide them, in
+            # which case the check happens after parameter mapping
+            # (reference retrieval.py:286-314):
+            if self.tpars is None and cfg.retrieval_params is None:
                 raise ValueError(
                     'Not all temperature parameters were defined (tpars)'
                 )
@@ -270,20 +275,28 @@ class Model:
         has_pars = any(
             _is_number(val) for ln in lines for val in ln.split()[1:]
         )
+        may_retrieve = cfg.retrieval_params is not None
         for ln in lines:
             fields = ln.split()
             if has_pars:
                 self.vmr_var_names.append(fields[0])
                 if len(fields) < 2:
-                    raise ValueError(
-                        'Not all vmr parameter values were defined (vmr_vars)'
-                    )
+                    # Values may come from retrieval_params instead
+                    # (checked after parameter mapping,
+                    # reference retrieval.py:296-317):
+                    if not may_retrieve:
+                        raise ValueError(
+                            'Not all vmr parameter values were defined '
+                            '(vmr_vars)'
+                        )
+                    self.vmr_pars.append(None)
+                    continue
                 self.vmr_pars.append(np.array(fields[1:], float))
             else:
                 self.vmr_var_names.extend(fields)
         if not has_pars:
             self.vmr_pars = None
-            if self.vmr_var_names:
+            if self.vmr_var_names and not may_retrieve:
                 raise ValueError(
                     'Not all vmr parameter values were defined (vmr_vars)'
                 )
@@ -494,6 +507,15 @@ class Model:
         if cfg.continuum_cs is not None:
             tmins, tmaxs = [], []
             for cs_file in cfg.continuum_cs:
+                if not os.path.isfile(cs_file):
+                    # Fall back to the bundled CIA library by basename
+                    # (so reference-style configs run with zero
+                    # user-supplied data files):
+                    from .data import cia_file as bundled_cia
+                    try:
+                        cs_file = bundled_cia(cs_file)
+                    except FileNotFoundError:
+                        pass
                 cia = CIA(cs_file, wn=wn)
                 imol = [species.index(mol) for mol in cia.species]
                 self.opacity_models.append(('cia', cia, imol))
@@ -517,7 +539,12 @@ class Model:
                 model = Deck(self.press, wn)
             elif name == 'lecavelier':
                 model = Lecavelier(self.press, wn)
-            if pars is not None:
+            if pars is None:
+                # Values must come from retrieval_params; the mapping
+                # step errors on any slot left undefined (reference
+                # pyrat/opacity.py:182-183, retrieval.py:318-323):
+                model.pars = [np.nan] * model.npars
+            else:
                 if len(pars) != model.npars:
                     raise ValueError(
                         f'Number of input parameters ({len(pars)}) does not '

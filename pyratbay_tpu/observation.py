@@ -48,12 +48,28 @@ class Observation:
             self.data = np.asarray(data, float)
         if uncert is not None:
             self.uncert = np.asarray(uncert, float)
+        if self.data is not None and self.uncert is not None \
+                and len(self.data) != len(self.uncert):
+            # Reference message (pyrat/observation.py:52-58):
+            raise ValueError(
+                f'Number of data uncertainty values ({len(self.uncert)}) '
+                'does not match the number of data points '
+                f'({len(self.data)})'
+            )
 
         if filters is not None:
+            from .data import filter_response, list_filters
             for entry in filters:
                 if isinstance(entry, str) and os.path.isfile(
                         _expand(entry, root)):
                     band = PassBand(_expand(entry, root), wn=wn)
+                elif isinstance(entry, str) \
+                        and entry.lower() in list_filters():
+                    # Bundled instrument library (data/filters.npz):
+                    wl_f, resp = filter_response(entry)
+                    band = PassBand.from_arrays(
+                        wl_f, resp, entry.lower(), wn=wn,
+                    )
                 else:
                     # 'tophat wl0 half_width' style entries:
                     fields = str(entry).split()
@@ -99,17 +115,32 @@ class Observation:
                 self.data_hires = np.asarray(obs_h['data'], float)
                 self.uncert_hires = np.asarray(obs_h['uncert'], float)
 
-        # Instrumental offsets / error-scaling parameter names:
+        # Instrumental offsets / error-scaling parameter names, one
+        # "name [default_value]" entry per line (reference
+        # tools/parser.py:1027-1059):
+        self.offset_pars = []
+        self.uncert_pars = []
         if cfg.offset_inst is not None:
-            self.offset_inst = cfg.offset_inst.split()
+            for entry in _param_lines(cfg.offset_inst):
+                fields = entry.split()
+                self.offset_inst.append(fields[0])
+                self.offset_pars.append(
+                    float(fields[1]) if len(fields) > 1 else 0.0
+                )
         if cfg.uncert_scaling is not None:
-            self.uncert_scaling = cfg.uncert_scaling.split()
+            for entry in _param_lines(cfg.uncert_scaling):
+                fields = entry.split()
+                self.uncert_scaling.append(fields[0])
+                self.uncert_pars.append(
+                    float(fields[1]) if len(fields) > 1 else 0.0
+                )
 
         if self.data is not None and self.nbands:
             if len(self.data) != self.nbands:
+                # Reference message (pyrat/observation.py:60-66):
                 raise ValueError(
-                    f'Number of data points ({len(self.data)}) does not '
-                    f'match the number of filter bands ({self.nbands})'
+                    f'Number of filter bands ({self.nbands}) does not '
+                    f'match the number of data points ({len(self.data)})'
                 )
 
         # Which bands each offset / error-scaling instrument touches
@@ -157,6 +188,37 @@ class Observation:
 
         self.units_scale = pc.u(cfg.dunits) if cfg.dunits else 1.0
 
+    def __str__(self):
+        from .tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('Observed data:')
+        ndata = 0 if self.data is None else len(self.data)
+        fw.write('Number of data points (ndata): {}', ndata)
+        if self.data is not None:
+            fw.write('Data (data):\n  {}', self.data, fmt={
+                'float': '{:.6e}'.format}, edge=4)
+        if self.uncert is not None:
+            fw.write('Uncertainties (uncert):\n  {}', self.uncert, fmt={
+                'float': '{:.6e}'.format}, edge=4)
+        fw.write('Number of filter bands (nbands): {}', self.nbands)
+        for band in self.filters:
+            fw.write(
+                '  {:24s} wl0 = {:.4f} um', band.name, band.wl0,
+            )
+        if self.offset_inst:
+            fw.write('Instrumental offsets (offset_inst): {}',
+                     self.offset_inst)
+        if self.uncert_scaling:
+            fw.write('Uncertainty scaling (uncert_scaling): {}',
+                     self.uncert_scaling)
+        if self.wn_hires is not None:
+            fw.write(
+                'High-resolution channel: {} points, '
+                'inst_resolution = {:.1f}',
+                len(self.wn_hires), self.inst_resolution,
+            )
+        return fw.text
+
     def band_integrate(self, spectrum):
         """Band-integrated model values [nbands] (jit-safe matvec)."""
         return self._band_matrix @ spectrum
@@ -192,6 +254,23 @@ class Observation:
                 )
                 uncert = jnp.where(mask, inflated, uncert)
         return uncert
+
+
+def _param_lines(value):
+    """Non-empty lines of a "name [value]" config block; a single-line
+    value with multiple bare names (legacy form) splits on whitespace."""
+    lines = [line.strip() for line in str(value).splitlines()]
+    lines = [line for line in lines if line]
+    if len(lines) == 1 and len(lines[0].split()) > 1:
+        fields = lines[0].split()
+        # "name value" vs "name1 name2 ...": a trailing number means
+        # one entry with a default value:
+        try:
+            float(fields[1])
+            return [lines[0]]
+        except ValueError:
+            return fields
+    return lines
 
 
 def _expand(path, root):

@@ -81,31 +81,37 @@ class CIA:
         self.mol = species
 
     def cross_section(self, temperature):
-        """CS (cm-1 (molec cm-3)^-N): T [nlayers] -> [nlayers, nwave].
+        """CS (cm-1 (molec cm-3)^-N): T [nlayers] -> [nlayers, nwave];
+        a scalar T gives [nwave] (reference cia.py:127-160).
 
         Temperatures are clamped into the tabulated range; range
         violations must be rejected by the caller (temp-bounds guard)
         to preserve the reference's sampling semantics.
         """
         temp = jnp.clip(jnp.asarray(temperature), self.tmin, self.tmax)
-        return lin_interp_trow(
-            self.tab_cross_section, self.temps, self._dcs_dt, temp,
-            self._wn_lo, self._wn_hi,
+        scalar = temp.ndim == 0
+        cs = lin_interp_trow(
+            self.tab_cross_section, self.temps, self._dcs_dt,
+            jnp.atleast_1d(temp), self._wn_lo, self._wn_hi,
         )
+        return cs[0] if scalar else cs
 
     def extinction(self, temperature, densities):
-        """EC (cm-1): densities [nlayers, nspec] of the colliding pair.
+        """EC (cm-1): densities [nlayers, nspec] of the colliding pair;
+        scalar T + densities [nspec] give a single layer [nwave].
 
         Evaluated in amagat-normalized units so every intermediate is
         O(1)-ranged and float32-safe.
         """
         temp = jnp.clip(jnp.asarray(temperature), self.tmin, self.tmax)
+        scalar = temp.ndim == 0
         cs_amagat = lin_interp_trow(
-            self.tab_cs_amagat, self.temps, self._dcs_dt_amagat, temp,
-            self._wn_lo, self._wn_hi,
+            self.tab_cs_amagat, self.temps, self._dcs_dt_amagat,
+            jnp.atleast_1d(temp), self._wn_lo, self._wn_hi,
         )
-        dens_amagat = jnp.asarray(densities) / pc.amagat
-        return cs_amagat * jnp.prod(dens_amagat, axis=1, keepdims=True)
+        dens_amagat = jnp.atleast_2d(jnp.asarray(densities)) / pc.amagat
+        ec = cs_amagat * jnp.prod(dens_amagat, axis=1, keepdims=True)
+        return ec[0] if scalar else ec
 
     def __str__(self):
         from ..tools import Formatted_Write

@@ -241,3 +241,28 @@ class VoigtGrid:
                     self.index[m, n] = self.index[m, n - 1]
                     self.size[m, n] = self.size[m, n - 1]
         self.profile = np.concatenate(chunks) if chunks else np.zeros(0)
+
+    def __str__(self):
+        from ..tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('Voigt-profile grid:')
+        fw.write(
+            'Doppler HWHM range (dmin, dmax): '
+            '[{:.3e}, {:.3e}] cm-1 ({} samples)',
+            self.dmin, self.dmax, self.ndop,
+        )
+        fw.write(
+            'Lorentz HWHM range (lmin, lmax): '
+            '[{:.3e}, {:.3e}] cm-1 ({} samples)',
+            self.lmin, self.lmax, self.nlor,
+        )
+        fw.write('Profile extent (extent): {:.1f} HWHM', self.extent)
+        fw.write('Profile cutoff (cutoff): {:.1f} cm-1', self.cutoff)
+        fw.write(
+            'Doppler/Lorentz aliasing threshold (dlratio): {:.3f}',
+            self.dlratio,
+        )
+        fw.write(
+            'Tabulated profile samples: {}', len(self.profile),
+        )
+        return fw.text

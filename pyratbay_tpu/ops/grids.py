@@ -74,6 +74,33 @@ class WavenumberGrid:
         """Wavelength in micron."""
         return 1.0 / (self.wn * 1e-4)
 
+    def __str__(self):
+        lines = [
+            'Wavenumber sampling:',
+            f'Range: {self.wnlow:.3f} -- {self.wnhigh:.3f} cm-1 '
+            f'({self.nwave} samples)',
+        ]
+        if self.resolution is not None:
+            lines.append(
+                f'Constant resolving power (resolution): '
+                f'{self.resolution:.1f}'
+            )
+        elif self.wlstep is not None:
+            lines.append(
+                f'Constant wavelength step (wlstep): {self.wlstep:.3e} um'
+            )
+        elif self.wnstep is not None:
+            lines.append(
+                f'Constant wavenumber step (wnstep): {self.wnstep:.3f} '
+                'cm-1'
+            )
+        if self.own is not None:
+            lines.append(
+                f'Fine grid: {self.onwave} samples '
+                f'(oversampling factor {self.wnosamp})'
+            )
+        return ''.join(line + '\n' for line in lines)
+
 
 def wavenumber_grid(
         wnlow=None, wnhigh=None, wl_low=None, wl_high=None,
@@ -103,9 +130,10 @@ def wavenumber_grid(
     if wl_high is None:
         wl_high = 1.0 / wnlow
     if wnlow > wnhigh:
+        # Reference message (pyrat/spectrum.py:115-119):
         raise ValueError(
-            f'wnlow ({wnlow:.1f} cm-1) must be smaller than wnhigh '
-            f'({wnhigh:.1f} cm-1)'
+            f'Wavenumber low boundary ({wnlow:.1f} cm-1) must be '
+            f'larger than the high boundary ({wnhigh:.1f} cm-1)'
         )
     if wnstep is None and wlstep is None and resolution is None:
         raise ValueError(

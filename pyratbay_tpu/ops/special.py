@@ -21,6 +21,9 @@ __all__ = [
     'wofz_real',
     'voigt_profile',
     'voigt_ref',
+    'Gauss',
+    'Lorentz',
+    'Voigt',
     'doppler_hwhm',
     'lorentz_hwhm',
     'min_widths',
@@ -238,6 +241,60 @@ def voigt_ref(x, hwhm_lor, hwhm_dop):
     rational = v * _SQRT_PI_LN2 / (np.pi * hwhm_dop)
 
     return jnp.where(hwhm_lor / hwhm_dop < 0.1, exact, rational)
+
+
+class Lorentz:
+    """Area-normalized 1D Lorentz profile (reference
+    opacity/broadening/broadening.py:20-76): callable object with
+    center x0, half-width hwhm, and scale."""
+
+    def __init__(self, x0=0.0, hwhm=1.0, scale=1.0):
+        self.x0 = x0
+        self.hwhm = hwhm
+        self.scale = scale
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        return (
+            self.scale * self.hwhm / np.pi
+            / (self.hwhm**2 + (x - self.x0)**2)
+        )
+
+
+class Gauss:
+    """Area-normalized 1D Gaussian profile parameterized by its HWHM
+    (reference broadening.py:79-141)."""
+
+    def __init__(self, x0=0.0, hwhm=1.0, scale=1.0):
+        self.x0 = x0
+        self.hwhm = hwhm
+        self.scale = scale
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        sigma = self.hwhm / np.sqrt(2.0 * np.log(2.0))
+        return (
+            self.scale / (sigma * np.sqrt(2.0 * np.pi))
+            * jnp.exp(-0.5 * ((x - self.x0) / sigma)**2)
+        )
+
+
+class Voigt:
+    """Area-normalized 1D Voigt profile object (reference
+    broadening.py:144-262): callable with x0, hwhm_L, hwhm_G, scale;
+    evaluates the reference-compatible branch selection (exact
+    Faddeeva for hwhm_L/hwhm_G < 0.1, 4-term rational otherwise)."""
+
+    def __init__(self, x0=0.0, hwhm_L=1.0, hwhm_G=1.0, scale=1.0):
+        self.x0 = x0
+        self.hwhm_L = hwhm_L
+        self.hwhm_G = hwhm_G
+        self.scale = scale
+
+    def __call__(self, x):
+        return self.scale * voigt_ref(
+            jnp.asarray(x) - self.x0, self.hwhm_L, self.hwhm_G,
+        )
 
 
 def doppler_hwhm(temperature, mass, wn):

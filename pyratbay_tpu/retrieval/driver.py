@@ -101,6 +101,16 @@ def run_retrieval(model, seed=0):
         'sampler)'
     )
     if ret.sampler == 'multinest':
+        # Be explicit about what actually runs: not pymultinest, but
+        # this package's device-batched nested sampler (no mode
+        # clustering; logz_err from the information heuristic):
+        log.msg(
+            "sampler = multinest runs the native batched "
+            "nested sampler (retrieval/nested.py): MultiNest-style "
+            "evidence + posterior from a live-point ensemble on "
+            "device; logz_err is an information-based estimate and "
+            "there is no mode clustering."
+        )
         results = _run_nested(model, obs, ret, log_post, seed)
     else:
         results = sample_demc(

@@ -149,7 +149,16 @@ class RetrievalParams:
                 for j, ps in enumerate(opacity_pnames):
                     if pname in ps:
                         self.iopacity[j].append(i)
-                        self.map_opacity[j].append(ps.index(pname))
+                        idx = ps.index(pname)
+                        self.map_opacity[j].append(idx)
+                        # Patch undefined model values with the
+                        # retrieval initial value (reference
+                        # retrieval.py:258-259):
+                        m = model.opacity_models[j][1]
+                        pars = np.asarray(m.pars, float)
+                        if not np.isfinite(pars[idx]):
+                            pars[idx] = self.params[i]
+                            m.pars = list(pars)
                         break
             elif pname in offset_pnames:
                 self.ioffset.append(i)
@@ -163,5 +172,67 @@ class RetrievalParams:
                     f'values are:\n{all_available}'
                 )
 
+        # Patch missing model parameters from the retrieval initial
+        # values, then enforce completeness (reference
+        # retrieval.py:286-323):
+        if model.temp_model is not None and model.tpars is None:
+            if self.itemp and len(self.map_temp) == len(temp_pnames):
+                tpars = np.zeros(len(temp_pnames))
+                tpars[np.asarray(self.map_temp)] = \
+                    self.params[np.asarray(self.itemp)]
+                model.tpars = tpars
+            else:
+                raise ValueError(
+                    'Not all temperature parameters were defined (tpars)'
+                )
+        if vmr_pnames:
+            vmr_pars = model.vmr_pars
+            if vmr_pars is None:
+                vmr_pars = [None] * len(vmr_pnames)
+            if any(p is None for p in vmr_pars):
+                vmr_pars = list(vmr_pars)
+                for i_par, slot in zip(self.imol, self.map_mol):
+                    if vmr_pars[slot] is None:
+                        vmr_pars[slot] = np.array([self.params[i_par]])
+                if any(p is None for p in vmr_pars):
+                    raise ValueError(
+                        'Not all vmr parameter values were defined '
+                        '(vmr_vars)'
+                    )
+                model.vmr_pars = vmr_pars
+        bad_models = ''
+        for j, (mtype, m, _) in enumerate(model.opacity_models):
+            if getattr(m, 'npars', 0) == 0:
+                continue
+            if not np.all(np.isfinite(np.asarray(m.pars, float))):
+                bad_models = f"{mtype} model '{m.name}', "
+        if bad_models:
+            raise ValueError(
+                f'Undefined parameter values for {bad_models[:-2]}'
+            )
+
         self.ifree = np.where(self.pstep > 0)[0]
         self.nfree = len(self.ifree)
+
+    def __str__(self):
+        from ..tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('Retrieval parameters:')
+        fw.write('Number of parameters (nparams): {}', self.nparams)
+        fw.write('Number of free parameters (nfree): {}', self.nfree)
+        fw.write(
+            '  {:16s} {:>10s} {:>10s} {:>10s} {:>8s}',
+            'pname', 'value', 'pmin', 'pmax', 'pstep',
+        )
+        for i, pname in enumerate(self.pnames):
+            fw.write(
+                '  {:16s} {:10.4g} {:10.4g} {:10.4g} {:8.4g}',
+                pname, self.params[i], self.pmin[i], self.pmax[i],
+                self.pstep[i],
+            )
+        fw.write('Sampler: {}', self.sampler)
+        fw.write(
+            'Temperature bounds (tlow, thigh): [{:.1f}, {:.1f}] K',
+            self.tlow, self.thigh,
+        )
+        return fw.text

@@ -55,6 +55,33 @@ class PassBand:
         if wn is not None or wl is not None:
             self.set_sampling(wl=wl, wn=wn)
 
+    @classmethod
+    def from_arrays(cls, wl, response, name, wn=None,
+                    counting_type='photon'):
+        """Build a passband from (wl [um], response) arrays -- used for
+        the bundled instrument filter library (data/filters.npz)."""
+        band = cls.__new__(cls)
+        band.name = str(name)
+        band.counting_type = counting_type
+        band.filter_file = None
+        input_wl = np.asarray(wl, float)
+        input_response = np.asarray(response, float)
+        band.wl0 = (
+            np.sum(input_wl * input_response) / np.sum(input_response)
+        )
+        band.wn0 = 1.0 / (band.wl0 * pc.um)
+        input_wn = 1.0 / (input_wl * pc.um)
+        wn_sort = np.argsort(input_wn)
+        band.input_response = input_response[wn_sort]
+        band.input_wn = input_wn[wn_sort]
+        band.response = np.copy(band.input_response)
+        band.wn = np.copy(band.input_wn)
+        band.wl = 1.0 / (band.wn * pc.um)
+        band.idx = None
+        if wn is not None:
+            band.set_sampling(wn=wn)
+        return band
+
     def _interp_response(self, wn):
         """Interpolate the response onto grid wn; returns (resp, idx)."""
         inside = (wn > self.input_wn[0]) & (wn < self.input_wn[-1])
@@ -115,6 +142,21 @@ class PassBand:
 
     def __repr__(self):
         return f"pyratbay_tpu.spectrum.PassBand('{self.filter_file}')"
+
+    def __str__(self):
+        from ..tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('Instrument passband:')
+        fw.write('Name (name): {}', self.name)
+        fw.write('Central wavelength (wl0): {:.4f} um', self.wl0)
+        fw.write('Counting type: {}', self.counting_type)
+        fw.write(
+            'Wavelength range: {:.4f} -- {:.4f} um ({:d} samples)',
+            float(np.min(self.wl)), float(np.max(self.wl)), len(self.wl),
+        )
+        if self.idx is not None:
+            fw.write('Resampled onto the model grid (idx set)')
+        return fw.text
 
 
 class Tophat(PassBand):

@@ -58,7 +58,9 @@ def radiative_equilibrium(
     n_prev = len(radeq_temps)
     temps = np.vstack([radeq_temps, np.zeros((nsamples, nlayers))])
     if dt_scale is None:
-        dt_scale = np.ones(nlayers)
+        # Reference initial temperature scale factor
+        # (pyrat_obj.py:604-605):
+        dt_scale = np.tile(1.0e5, nlayers)
 
     def _step(temp):
         # Equilibrium chemistry re-solves composition at the current

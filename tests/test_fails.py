@@ -2,6 +2,7 @@
 pinned message (the reference's largest test file,
 tests/test_fails.py, is this matrix for its parser)."""
 import configparser
+import re
 
 import numpy as np
 import pytest
@@ -49,20 +50,365 @@ def test_no_pyrat_section(tmp_path):
 
 
 @requires_reference
-@pytest.mark.parametrize('key,value,error', [
-    ('runmode', 'nope', "Invalid runmode 'nope'"),
-    ('rt_path', 'nope', "Invalid rt_path 'nope'"),
-    ('tmodel', 'nope', "Invalid tmodel 'nope'"),
-    ('radmodel', 'nope', "Invalid radmodel 'nope'"),
-    ('chemistry', 'nope', "Invalid chemistry model 'nope'"),
-    ('rayleigh', 'nope_nope', "Invalid Rayleigh model 'nope_nope'"),
-    ('alkali', 'nope', "Invalid alkali model 'nope'"),
-    ('clouds', 'nope 1.0', "Invalid cloud model 'nope'"),
+@pytest.mark.parametrize('key,value,desc', [
+    ('runmode', 'nope', 'running mode'),
+    ('rt_path', 'nope', 'radiative-transfer observing geometry'),
+    ('tmodel', 'nope', 'temperature model'),
+    ('radmodel', 'nope', 'Radius-profile model'),
+    ('chemistry', 'nope', 'Chemical model'),
+    ('rayleigh', 'nope_nope', 'Rayleigh model'),
+    ('alkali', 'nope', 'alkali model'),
+    ('clouds', 'nope 1.0', 'cloud model'),
+    ('h_ion', 'nope', 'H- opacity model'),
+    ('sampler', 'nope', 'posterior sampler'),
 ])
-def test_parser_invalid_choices(tmp_path, key, value, error):
+def test_parser_invalid_choices(tmp_path, key, value, desc):
+    # Reference get_choice message format (tools/parser.py:105-123):
     cfg = make_config(tmp_path, reset={key: value})
+    bad = value.split()[0]
+    error = re.escape(f"Invalid {desc} ({key}): '{bad}'. Select from: ")
     with pytest.raises(ValueError, match=error):
         cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+# ---------------------------------------------------------------------
+# Typed-value parse errors (reference tools/parser.py:215-330,
+# tests/test_fails.py:89-167):
+
+@requires_reference
+@pytest.mark.parametrize('value', ['10.5', '10 20', 'a', 'inf', 'True'])
+def test_parser_invalid_integer_type(tmp_path, value):
+    cfg = make_config(tmp_path, reset={'nlayers': value})
+    error = re.escape(
+        'Invalid data type for nlayers, could not convert string to '
+        f"integer: '{value}'"
+    )
+    with pytest.raises(ValueError, match=error):
+        cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+@requires_reference
+@pytest.mark.parametrize('key', [
+    'verb', 'wnosamp', 'nlayers', 'ndop', 'nlor', 'quadrature',
+    'nsamples', 'nchains', 'burnin', 'thinning', 'ncpu', 'nlive',
+])
+def test_parser_invalid_integer_all_params(tmp_path, key):
+    cfg = make_config(tmp_path, reset={key: 'abc'})
+    error = re.escape(
+        f'Invalid data type for {key}, could not convert string to '
+        "integer: 'abc'"
+    )
+    with pytest.raises(ValueError, match=error):
+        cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+@requires_reference
+@pytest.mark.parametrize('value', ['100 200', 'a'])
+def test_parser_invalid_float_type(tmp_path, value):
+    cfg = make_config(tmp_path, reset={'tstar': value})
+    error = re.escape(
+        'Invalid data type for tstar, could not convert string to '
+        f"float: '{value}'"
+    )
+    with pytest.raises(ValueError, match=error):
+        cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+@requires_reference
+@pytest.mark.parametrize('key', [
+    'wnstep', 'resolution', 'tmin', 'tmax', 'tstep', 'ethresh',
+    'voigt_extent', 'voigt_cutoff', 'fpatchy', 'maxdepth', 'qcap',
+    'tlow', 'thigh', 'tstar', 'gplanet', 'tint',
+])
+def test_parser_invalid_float_all_params(tmp_path, key):
+    cfg = make_config(tmp_path, reset={key: 'abc'})
+    error = re.escape(
+        f'Invalid data type for {key}, could not convert string to '
+        "float: 'abc'"
+    )
+    with pytest.raises(ValueError, match=error):
+        cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+@requires_reference
+def test_parser_invalid_bool(tmp_path):
+    cfg = make_config(tmp_path, reset={'resume': 'maybe'})
+    error = re.escape(
+        "Invalid data type for parameter 'resume', could not convert "
+        "string 'maybe' to bool"
+    )
+    with pytest.raises(ValueError, match=error):
+        cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+# ---------------------------------------------------------------------
+# Unit-name validation (reference parser.py:763, 793, 809, 890, 1015):
+
+@requires_reference
+@pytest.mark.parametrize('key,desc', [
+    ('wlunits', 'wavelength'),
+    ('runits', 'radius'),
+    ('punits', 'pressure'),
+    ('mpunits', 'planet mass'),
+    ('dunits', 'data'),
+])
+def test_parser_invalid_units(tmp_path, key, desc):
+    cfg = make_config(tmp_path, reset={key: 'invalid'})
+    error = re.escape(f'Invalid {desc} units ({key}): invalid')
+    with pytest.raises(ValueError, match=error):
+        cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+# ---------------------------------------------------------------------
+# Numeric-bound validation (reference get_default messages,
+# tools/parser.py:126-168; tests/test_fails.py:279-330):
+
+@requires_reference
+@pytest.mark.parametrize('key,value', [
+    ('nlayers', '1'),
+    ('wnstep', '0'),
+    ('wnlow', '0'),
+    ('wnhigh', '-1'),
+    ('resolution', '0'),
+    ('tmin', '-100'),
+    ('tmax', '0'),
+    ('tstep', '0'),
+    ('ethresh', '0'),
+    ('dlratio', '0'),
+    ('qcap', '0'),
+    ('nsamples', '0'),
+    ('burnin', '0'),
+    ('nlive', '0'),
+    ('grnmin', '0'),
+    ('tstar', '0'),
+    ('gplanet', '-10'),
+    ('inst_resolution', '0'),
+])
+def test_parser_greater_than(tmp_path, key, value):
+    cfg = make_config(tmp_path, reset={key: value})
+    error = re.escape(f'({key}) must be > ')
+    with pytest.raises(ValueError, match=error):
+        cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+@requires_reference
+@pytest.mark.parametrize('key', [
+    'wnosamp', 'ndop', 'nlor', 'thinning', 'nchains', 'ncpu', 'tint',
+    'quadrature', 'grbreak', 'fpatchy', 'maxdepth', 'voigt_extent',
+    'voigt_cutoff', 'f_dilution', 'dt_retrieval_snapshot',
+])
+def test_parser_greater_equal(tmp_path, key):
+    cfg = make_config(tmp_path, reset={key: '-10'})
+    error = re.escape(f'({key}) must be >= ')
+    with pytest.raises(ValueError, match=error):
+        cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+@requires_reference
+def test_parser_lower_than(tmp_path):
+    cfg = make_config(tmp_path, reset={'verb': '10'})
+    error = re.escape('Verbosity (verb) must be < 5')
+    with pytest.raises(ValueError, match=error):
+        cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+@requires_reference
+@pytest.mark.parametrize('key', ['fpatchy', 'qcap', 'f_dilution'])
+def test_parser_lower_equal(tmp_path, key):
+    cfg = make_config(tmp_path, reset={key: '1.1'})
+    error = re.escape(f'({key}) must be <= ')
+    with pytest.raises(ValueError, match=error):
+        cfg_parser.parse(cfg, root=REFERENCE_ROOT)
+
+
+# ---------------------------------------------------------------------
+# Temperature-model / retrieval-params completeness (reference
+# tmodels.py:20-32, retrieval.py:90-323):
+
+@requires_reference
+@pytest.mark.parametrize('tmodel,npars', [
+    ('isothermal', 1), ('guillot', 6), ('madhu', 6),
+])
+def test_model_tpars_mismatch(tmp_path, tmodel, npars):
+    cfg = make_config(
+        tmp_path, reset={'tmodel': tmodel, 'tpars': '100.0 200.0'},
+    )
+    error = re.escape(
+        'Number of temperature parameters (2) does not match the '
+        f'required number of parameters ({npars}) of the {tmodel} model'
+    )
+    with pytest.raises(ValueError, match=error):
+        Model(cfg, root=REFERENCE_ROOT).run()
+
+
+@requires_reference
+@pytest.mark.parametrize('ncolumns', [1, 3, 4, 6, 9])
+def test_retrieval_params_invalid_entry(tmp_path, ncolumns):
+    entry = 'T_iso 1500.0 300.0 3500.0 10.0 900.0 100.0 100.0 1.0'.split()
+    ret_pars = ' '.join(entry[0:ncolumns])
+    cfg = make_config(
+        tmp_path,
+        reset={'tmodel': 'isothermal', 'retrieval_params': ret_pars},
+        remove=['tpars'],
+    )
+    error = re.escape(
+        f"Invalid number of fields for retrieval_params entry\n'{ret_pars}'"
+    )
+    with pytest.raises(ValueError, match=error):
+        model = Model(cfg, root=REFERENCE_ROOT)
+        from pyratbay_tpu.retrieval import RetrievalParams
+        RetrievalParams(model)
+
+
+@requires_reference
+def test_retrieval_params_invalid_pname(tmp_path):
+    cfg = make_config(
+        tmp_path,
+        reset={
+            'tmodel': 'isothermal',
+            'retrieval_params': 'not_a_param -3.0',
+        },
+        remove=['tpars'],
+    )
+    error = re.escape(
+        "Invalid retrieval parameter 'not_a_param'. Possible values are:"
+    )
+    with pytest.raises(ValueError, match=error):
+        model = Model(cfg, root=REFERENCE_ROOT)
+        from pyratbay_tpu.retrieval import RetrievalParams
+        RetrievalParams(model)
+
+
+@requires_reference
+def test_retrieval_params_repeated(tmp_path):
+    cfg = make_config(
+        tmp_path,
+        reset={'retrieval_params': 'R_planet 1.0\nR_planet 1.5'},
+    )
+    error = re.escape("Repeated parameter names: ['R_planet']")
+    with pytest.raises(ValueError, match=error):
+        model = Model(cfg, root=REFERENCE_ROOT)
+        from pyratbay_tpu.retrieval import RetrievalParams
+        RetrievalParams(model)
+
+
+@requires_reference
+def test_retrieval_params_insufficient_temp(tmp_path):
+    cfg = make_config(
+        tmp_path,
+        reset={
+            'tmodel': 'isothermal',
+            'retrieval_params': 'R_planet 1.0',
+        },
+        remove=['tpars'],
+    )
+    error = re.escape(
+        'Not all temperature parameters were defined (tpars)'
+    )
+    with pytest.raises(ValueError, match=error):
+        model = Model(cfg, root=REFERENCE_ROOT)
+        from pyratbay_tpu.retrieval import RetrievalParams
+        RetrievalParams(model)
+
+
+@requires_reference
+def test_retrieval_params_insufficient_vmr(tmp_path):
+    cfg = make_config(
+        tmp_path,
+        reset={
+            'vmr_vars': 'log_H2O',
+            'bulk': 'H2 He',
+            'retrieval_params': 'R_planet 1.0',
+        },
+    )
+    error = re.escape(
+        'Not all vmr parameter values were defined (vmr_vars)'
+    )
+    with pytest.raises(ValueError, match=error):
+        model = Model(cfg, root=REFERENCE_ROOT)
+        from pyratbay_tpu.retrieval import RetrievalParams
+        RetrievalParams(model)
+
+
+@requires_reference
+def test_retrieval_params_undefined_cloud(tmp_path):
+    cfg = make_config(
+        tmp_path,
+        reset={
+            'clouds': 'deck',
+            'retrieval_params': 'R_planet 1.0',
+        },
+    )
+    error = re.escape("Undefined parameter values for cloud model 'deck'")
+    with pytest.raises(ValueError, match=error):
+        model = Model(cfg, root=REFERENCE_ROOT)
+        from pyratbay_tpu.retrieval import RetrievalParams
+        RetrievalParams(model)
+
+
+@requires_reference
+def test_retrieval_params_patch_cloud_from_retrieval(tmp_path):
+    """Cloud values supplied by retrieval_params are patched in
+    (reference retrieval.py:258-259) -- no error."""
+    from pyratbay_tpu.retrieval import RetrievalParams
+    cfg = make_config(
+        tmp_path,
+        reset={
+            'clouds': 'deck',
+            'retrieval_params': 'log_p_cl -2.5',
+        },
+    )
+    model = Model(cfg, root=REFERENCE_ROOT)
+    RetrievalParams(model)
+    deck = [m for t, m, _ in model.opacity_models if t == 'cloud'][0]
+    np.testing.assert_allclose(deck.pars, [-2.5])
+
+
+@requires_reference
+def test_observation_uncert_mismatch(tmp_path):
+    cfg = make_config(
+        tmp_path, reset={'data': '1.0 2.0', 'uncert': '0.1'},
+    )
+    error = re.escape(
+        'Number of data uncertainty values (1) does not match the '
+        'number of data points (2)'
+    )
+    model = Model(cfg, root=REFERENCE_ROOT)
+    with pytest.raises(ValueError, match=error):
+        Observation(model.cfg, model.wn, root=REFERENCE_ROOT)
+
+
+@requires_reference
+def test_observation_filters_mismatch(tmp_path):
+    cfg = make_config(
+        tmp_path,
+        reset={
+            'data': '1.0 2.0',
+            'uncert': '0.1 0.1',
+            'filters': REFERENCE_ROOT
+            + 'tests/filters/filter_test_WFC3_G141_1.133um.dat',
+        },
+    )
+    error = re.escape(
+        'Number of filter bands (1) does not match the number of '
+        'data points (2)'
+    )
+    model = Model(cfg, root=REFERENCE_ROOT)
+    with pytest.raises(ValueError, match=error):
+        Observation(model.cfg, model.wn, root=REFERENCE_ROOT)
+
+
+@requires_reference
+def test_spectrum_inconsistent_wl_bounds(tmp_path):
+    cfg = make_config(
+        tmp_path, reset={'wl_low': '2.0 um', 'wl_high': '1.0 um'},
+    )
+    error = re.escape(
+        'Wavenumber low boundary (10000.0 cm-1) must be larger than '
+        'the high boundary (5000.0 cm-1)'
+    )
+    with pytest.raises(ValueError, match=error):
+        Model(cfg, root=REFERENCE_ROOT)
 
 
 @requires_reference
@@ -212,8 +558,8 @@ def test_observation_data_bands_mismatch(tmp_path):
 
     with pytest.raises(
             ValueError,
-            match=r'Number of data points \(3\) does not match the '
-                  r'number of filter bands \(1\)'):
+            match=r'Number of filter bands \(1\) does not match the '
+                  r'number of data points \(3\)'):
         Observation(_Cfg, model.wn)
 
 

@@ -28,21 +28,24 @@ def test_radeq_runs_and_reduces_imbalance(tmp_path):
         ini.write(f)
 
     model = Model(cfg, root=REFERENCE_ROOT)
-    temps = radiative_equilibrium(model, nsamples=20)
-    assert temps.shape == (21, model.nlayers)
+    temps = radiative_equilibrium(model, nsamples=40)
+    assert temps.shape == (41, model.nlayers)
     assert np.all(np.isfinite(temps))
     assert np.all(temps[-1] > 0)
     # Iterations change the profile (the initial one is not balanced):
     assert np.max(np.abs(temps[-1] - temps[0])) > 1.0
-    # The final steps move less than the initial ones (approaching
-    # balance):
-    early = np.mean(np.abs(temps[2] - temps[1]))
-    late = np.mean(np.abs(temps[-1] - temps[-2]))
-    assert late < early
+    # With the reference's adaptive dt_scale the step size ramps up
+    # (x1.15 per non-wobbling iteration), peaks, then collapses as the
+    # profile approaches flux balance:
+    steps = np.array([
+        np.mean(np.abs(temps[k + 1] - temps[k]))
+        for k in range(len(temps) - 1)
+    ])
+    assert steps[-1] < 0.1 * steps.max()
 
     # Warm restart reuses state:
     temps2 = radiative_equilibrium(
         model, nsamples=5,
         radeq_temps=model.radeq_temps, dt_scale=model._dt_scale,
     )
-    assert temps2.shape == (26, model.nlayers)
+    assert temps2.shape == (46, model.nlayers)

@@ -408,6 +408,68 @@ def test_ref_parity_emission_resolution(ref_root, mock_tli):
 
 
 # ---------------------------------------------------------------------
+# Radiative equilibrium (fixed-VMR chemistry):
+
+_POST_RADEQ = '''
+import pyratbay.spectrum as ps
+
+class _FixedChem:
+    """chemcat stand-in returning the input (uniform) VMR profile."""
+    def thermochemical_equilibrium(self, temp):
+        return result.atm.vmr
+
+result.od.rt_path = 'emission_two_stream'
+result.atm._dt_scale = np.tile(1.0e5, result.atm.nlayers)
+result.spec.specfile = None
+result.log.verb = -1
+tmin = np.amax(list(result.opacity.tmin.values()))
+tmax = np.amin(list(result.opacity.tmax.values()))
+temps = ps.radiative_equilibrium(
+    result.atm.press, np.atleast_2d(result.atm.temp), 10,
+    _FixedChem(), result.run, result.spec.wn, result.spec, result.atm,
+    False, tmin, tmax,
+)
+out['radeq_temps'] = np.asarray(temps)
+out['radeq_tminmax'] = np.array([tmin, tmax])
+'''
+
+
+def test_ref_parity_radeq(ref_root, mock_exttable):
+    """Reference radiative-equilibrium trajectory (adaptive dT update,
+    wobble damping, smoothing; radiative_transfer.py:141-274) == this
+    package's radeq loop, with fixed-VMR chemistry on both sides."""
+    from pyratbay_tpu.model import Model
+    from pyratbay_tpu.spectrum.radeq import radiative_equilibrium
+
+    cfg = _write_cfg(
+        'radeq_par', EMISSION.format(ref_root),
+        reset={
+            'logfile': '{ROOT}tests/outputs/radeq_par.log',
+            'sampled_cross_sec': mock_exttable,
+            **MOCK_WL,
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+    ref = _ref_run('radeq_par', cfg, post=_POST_RADEQ)
+
+    model = Model(cfg, root=ref_root)
+    model.rt_path = 'emission_two_stream'
+    tmin, tmax = ref['radeq_tminmax']
+    temps = radiative_equilibrium(
+        model, nsamples=10, tmin=tmin, tmax=tmax,
+    )
+    assert temps.shape == ref['radeq_temps'].shape
+    # Early iterations pin the update math tightly; later ones
+    # accumulate wobble-branch history:
+    np.testing.assert_allclose(
+        temps[1], ref['radeq_temps'][1], rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        temps, ref['radeq_temps'], rtol=1e-3,
+    )
+
+
+# ---------------------------------------------------------------------
 # Eclipse variants:
 
 def test_ref_parity_eclipse_sampled_cs(ref_root, mock_exttable):

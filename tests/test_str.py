@@ -88,3 +88,104 @@ def test_str_h_ion():
     assert 'H- bound-free/free-free opacity (John 1988)' in text
     assert "Species: ['H', 'e-']" in text
     assert 'Wavenumber samples (nwave): 100' in text
+
+
+# ---------------------------------------------------------------------
+# Exact full-text snapshots (frozen inspection surface, the
+# reference's test_str.py style):
+
+def test_str_tophat_snapshot():
+    from pyratbay_tpu.spectrum.passbands import Tophat
+    wn = np.arange(5882.0, 9091.0, 1.0)
+    text = str(Tophat(1.4, 0.05, wn=wn))
+    assert text == (
+        'Instrument passband:\n'
+        'Name (name): tophat\n'
+        'Central wavelength (wl0): 1.4000 um\n'
+        'Counting type: photon\n'
+        'Wavelength range: 1.3499 -- 1.4501 um (513 samples)\n'
+        'Resampled onto the model grid (idx set)\n'
+    )
+
+
+def test_str_wavenumber_grid_snapshot():
+    from pyratbay_tpu.ops.grids import wavenumber_grid
+    grid = wavenumber_grid(
+        wl_low=1.1e-4, wl_high=1.7e-4, wnstep=1.0, wnosamp=2160,
+    )
+    assert str(grid) == (
+        'Wavenumber sampling:\n'
+        'Range: 5882.353 -- 9090.909 cm-1 (3209 samples)\n'
+        'Constant wavenumber step (wnstep): 1.000 cm-1\n'
+        'Fine grid: 6929281 samples (oversampling factor 2160)\n'
+    )
+
+
+def test_str_wavenumber_grid_resolution():
+    from pyratbay_tpu.ops.grids import wavenumber_grid
+    grid = wavenumber_grid(
+        wnlow=5882.0, wnhigh=9091.0, resolution=5000.0,
+    )
+    text = str(grid)
+    assert 'Constant resolving power (resolution): 5000.0' in text
+    assert text.startswith('Wavenumber sampling:\n')
+
+
+def test_str_voigt_grid_snapshot():
+    from pyratbay_tpu.opacity.voigt_grid import VoigtGrid
+    from pyratbay_tpu.ops.grids import wavenumber_grid
+    grid = wavenumber_grid(
+        wl_low=1.1e-4, wl_high=1.7e-4, wnstep=1.0, wnosamp=2160,
+    )
+    vg = VoigtGrid(
+        1.0 / 2160, len(grid.own), grid.wn[0], grid.wn[-1],
+        1e-6, 100.0, 1.0, 50.0, 1e-8, 3e-8, ndop=5, nlor=5,
+    )
+    assert str(vg) == (
+        'Voigt-profile grid:\n'
+        'Doppler HWHM range (dmin, dmax): '
+        '[2.979e-03, 1.783e-01] cm-1 (5 samples)\n'
+        'Lorentz HWHM range (lmin, lmax): '
+        '[1.378e-08, 4.248e+01] cm-1 (5 samples)\n'
+        'Profile extent (extent): 300.0 HWHM\n'
+        'Profile cutoff (cutoff): 25.0 cm-1\n'
+        'Doppler/Lorentz aliasing threshold (dlratio): 0.100\n'
+        'Tabulated profile samples: 1248848\n'
+    )
+
+
+def test_str_observation_snapshot():
+    from pyratbay_tpu.observation import Observation
+
+    class _Cfg:
+        data = [0.01, 0.02]
+        uncert = [0.001, 0.001]
+        filters = ['tophat 1.2 0.05', 'tophat 1.4 0.05']
+        obsfile = None
+        obsfile_hires = None
+        dunits = None
+        offset_inst = None
+        uncert_scaling = None
+
+    wn = np.arange(5882.0, 9091.0, 1.0)
+    obs = Observation(_Cfg, wn)
+    assert str(obs) == (
+        'Observed data:\n'
+        'Number of data points (ndata): 2\n'
+        'Data (data):\n'
+        '  [1.000000e-02 2.000000e-02]\n'
+        'Uncertainties (uncert):\n'
+        '  [1.000000e-03 1.000000e-03]\n'
+        'Number of filter bands (nbands): 2\n'
+        '  tophat                   wl0 = 1.2000 um\n'
+        '  tophat                   wl0 = 1.4000 um\n'
+    )
+
+
+def test_str_retrieval_params(flagship):
+    model, obs, ret = flagship[0], flagship[1], flagship[2]
+    text = str(ret)
+    assert text.startswith('Retrieval parameters:\n')
+    assert 'Number of parameters (nparams): 7' in text
+    assert "log_kappa'" in text and 'R_planet' in text
+    assert 'Temperature bounds (tlow, thigh): [300.0, 3000.0] K' in text
