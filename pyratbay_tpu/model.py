@@ -133,39 +133,132 @@ class Model:
         self.nwave = len(self.wn)
 
     def _setup_atmosphere(self):
+        """Per-property calculate/read/interpolate decisions, matching
+        the reference's provenance rules
+        (pyrat/atmosphere.py:165-262, 933-1065):
+
+        - pressure: calculate iff ptop+pbottom+nlayers are all given,
+          else read from the input atmosphere;
+        - temperature: a tmodel takes precedence (requires tpars unless
+          a read profile exists and tpars is absent), else read;
+        - VMR: a chemistry model takes precedence (free needs
+          species+uniform_vmr; config species override the file's),
+          else read;
+        - radius: a radmodel takes precedence, else read;
+        - read profiles are interpolated onto a calculated pressure
+          grid (T/r slinear vs ln p; VMR log-log).
+        """
         cfg = self.cfg
-        # Input atmosphere:
-        if cfg.atmfile is not None:
-            units, species, press, temp, vmr, radius = pio.read_atm(
-                cfg.atmfile,
-            )
+        # Input atmosphere (a ptfile provides only P/T and takes
+        # precedence over atmfile; reference atmosphere.py:165-176):
+        in_press = in_temp = in_vmr = in_radius = None
+        in_species = None
+        source = None
+        if cfg.ptfile is not None and os.path.isfile(cfg.ptfile):
+            source = cfg.ptfile
+        elif cfg.atmfile is not None:
+            source = cfg.atmfile
+        if source is not None:
+            units, in_species, in_press, in_temp, in_vmr, in_radius = \
+                pio.read_atm(source)
             punits, _, _, runits = units
-            press = press * pc.u(punits) / pc.bar
-            if radius is not None and runits is not None:
-                radius = radius * pc.u(runits)
-        elif cfg.nlayers is not None:
-            press = profiles.pressure(cfg.ptop, cfg.pbottom, cfg.nlayers)
-            temp = None
-            species = cfg.species
-            vmr = None
-            radius = None
-            if cfg.uniform_vmr is not None:
-                vmr = vmr_models.uniform_vmr(
-                    np.array(cfg.uniform_vmr, float), cfg.nlayers,
-                )
+            in_press = in_press * pc.u(punits) / pc.bar
+            if in_radius is not None and runits is not None:
+                in_radius = in_radius * pc.u(runits)
+            if source == cfg.ptfile:
+                in_species = in_vmr = in_radius = None
+
+        # Pressure:
+        calc_press = (
+            cfg.nlayers is not None and cfg.ptop is not None
+            and cfg.pbottom is not None
+        )
+        if calc_press:
+            press = np.asarray(
+                profiles.pressure(cfg.ptop, cfg.pbottom, cfg.nlayers),
+            )
+        elif in_press is not None:
+            press = np.asarray(in_press)
         else:
             raise ValueError(
-                'Missing atmosphere: provide atmfile or nlayers/ptop/pbottom'
+                'Cannot compute pressure profile, either set {ptop, '
+                'pbottom, nlayers} parameters, or provide an input PT '
+                'profile (ptfile) or atmospheric file (atmfile)'
             )
-        self.press = np.asarray(press)
-        self.nlayers = len(self.press)
-        self.species = None if species is None else list(species)
-        self.base_temp = temp
-        self.base_vmr = None if vmr is None else np.asarray(vmr)
-        self.input_radius = radius
+        nlayers = len(press)
 
-        # Species physical properties:
-        if self.species is not None:
+        # Interpolate read profiles onto a calculated grid
+        # (reference atmosphere.py:237-262):
+        needs_interp = (
+            calc_press and in_press is not None
+            and (len(in_press) != nlayers
+                 or not np.allclose(in_press, press))
+        )
+        if needs_interp:
+            from scipy.interpolate import interp1d
+            logp_in = np.log(in_press)
+            logp = np.log(press)
+            if in_temp is not None:
+                in_temp = interp1d(
+                    logp_in, in_temp, kind='slinear',
+                    bounds_error=False,
+                    fill_value=(in_temp[0], in_temp[-1]),
+                )(logp)
+            if in_vmr is not None:
+                log_vmr = np.log(in_vmr)
+                in_vmr = np.exp(interp1d(
+                    logp_in, log_vmr, axis=0, kind='slinear',
+                    bounds_error=False,
+                    fill_value=(log_vmr[0], log_vmr[-1]),
+                )(logp))
+            if in_radius is not None:
+                in_radius = interp1d(
+                    logp_in, in_radius, kind='slinear',
+                )(logp)
+
+        # VMR provenance: chemistry model beats the read profiles;
+        # config species beat the file's (reference check_chemistry):
+        species = in_species
+        vmr = in_vmr
+        if cfg.chemistry is not None:
+            if cfg.species is not None:
+                species = list(cfg.species)
+            if species is None:
+                raise ValueError(
+                    'Cannot compute VMRs. Undefined atmospheric species '
+                    'list (species)'
+                )
+            if cfg.chemistry == 'free':
+                if cfg.uniform_vmr is None:
+                    raise ValueError(
+                        'Undefined list of uniform volume mixing ratios '
+                        '(uniform_vmr) for free chemistry model'
+                    )
+                if len(cfg.uniform_vmr) != len(species):
+                    raise ValueError(
+                        f'Number of uniform abundances '
+                        f'({len(cfg.uniform_vmr)}) does not match the '
+                        f'number of species ({len(species)})'
+                    )
+                vmr = vmr_models.uniform_vmr(
+                    np.array(cfg.uniform_vmr, float), nlayers,
+                )
+            # Calculated composition invalidates any read radius
+            # (reference check_altitude: read only when vmr is read):
+            in_radius = None
+
+        self.press = press
+        self.nlayers = nlayers
+        self.species = None if species is None else list(species)
+        self.base_temp = in_temp
+        self.base_vmr = None if vmr is None else np.asarray(vmr)
+        self.input_radius = in_radius
+
+        # Species physical properties (deferred for equilibrium
+        # chemistry: the network prunes species without thermodynamic
+        # data first, and the equilibrium block below resolves the
+        # properties of the pruned list):
+        if self.species is not None and cfg.chemistry != 'equilibrium':
             self.mol_mass, self.mol_radius = pio.species_properties(
                 self.species, cfg.molfile,
             )
@@ -181,10 +274,15 @@ class Model:
             )
             # The model takes precedence over any input profile, so its
             # parameters are required (reference test_transmission.py:321)
-            # -- unless a retrieval_params block may provide them, in
-            # which case the check happens after parameter mapping
-            # (reference retrieval.py:286-314):
-            if self.tpars is None and cfg.retrieval_params is None:
+            # -- unless a retrieval_params block may provide them (the
+            # check then happens after parameter mapping, reference
+            # retrieval.py:286-314), or runmode=atmosphere with a read
+            # temperature profile (reference check_temperature 'read'):
+            reads_temp = (
+                cfg.runmode == 'atmosphere' and self.base_temp is not None
+            )
+            if self.tpars is None and cfg.retrieval_params is None \
+                    and not reads_temp:
                 raise ValueError(
                     'Not all temperature parameters were defined (tpars)'
                 )
@@ -252,6 +350,7 @@ class Model:
         self.tstar = cfg.tstar
         self.tint = cfg.tint
         self.beta_irr = cfg.beta_irr
+        self.distance = cfg.distance
         self.rhill = hydro.hill_radius(self.smaxis, self.mplanet, self.mstar)
         # Static radius scale for float32-safe transit geometry (chord
         # lengths come from differences of squared radii; computing them
@@ -1205,6 +1304,53 @@ class Model:
             band_cf_matrix(obs.filters, self.nwave),
         )
         return np.asarray(cfuncs.band_cf(contrib, band_weights))
+
+    def plot_spectrum(self, spec='model', filename=None, obs=None, **kw):
+        """Plot the latest (spec='model') or best-fit (spec='best')
+        spectrum; reference Pyrat.plot_spectrum (pyrat_obj.py:722-760).
+        Returns the matplotlib Axes.
+        """
+        import matplotlib
+        matplotlib.use('Agg')
+        from . import plots
+        if spec == 'best':
+            spectrum = getattr(self, 'spec_best', None)
+            if spectrum is None:
+                raise ValueError(
+                    "plot_spectrum(spec='best') requires a retrieval run"
+                )
+        else:
+            spectrum = self.spectrum
+        if spectrum is None:
+            raise ValueError('Cannot plot spectrum before run()')
+        obs = obs if obs is not None else getattr(self, 'obs', None)
+        rt_key = (
+            'transit' if self.rt_path in pc.TRANSMISSION_RT else
+            'eclipse' if self.rt_path in pc.ECLIPSE_RT else 'emission'
+        )
+        wl = 1.0 / (np.asarray(self.wn) * pc.um)
+        kw.setdefault('rt_path', rt_key)
+        if obs is not None and obs.nbands:
+            kw.setdefault('band_wl', obs.band_wl)
+            kw.setdefault('data', obs.data)
+            kw.setdefault('uncert', obs.uncert)
+        return plots.spectrum(
+            np.asarray(spectrum), wl, filename=filename, **kw,
+        )
+
+    def plot_temperature(self, filename=None, **kw):
+        """Plot the current temperature profile (reference
+        Pyrat.plot_temperature); returns the matplotlib Axes."""
+        import matplotlib
+        matplotlib.use('Agg')
+        from . import plots
+        temp = getattr(self, 'temp', None)
+        if temp is None:
+            temp = np.asarray(self.eval_temp())
+        return plots.temperature(
+            np.asarray(self.press), profiles=[np.asarray(temp)],
+            filename=filename, **kw,
+        )
 
     def __str__(self):
         from .tools import Formatted_Write

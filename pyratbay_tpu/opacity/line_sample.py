@@ -255,13 +255,24 @@ class LineSample:
         return tlo, w_hi
 
     def cross_section(self, temperature, per_mol=False):
-        """CS (cm2 molec-1): T [nlayers] -> [(nspec,) nlayers, nwave]."""
+        """CS (cm2 molec-1): T [nlayers] -> [(nspec,) nlayers, nwave].
+
+        The T-lerp is expressed as a dense contraction over the (small)
+        temperature axis instead of per-layer gathers: under vmap over
+        retrieval chains the gather formulation re-reads two [l, w]
+        table slices per chain (~0.7 GB/batch of gather traffic at the
+        flagship shape), while the einsum reads the table once and runs
+        on the MXU.
+        """
         tlo, w_hi = self._t_weights(temperature)
         table = jnp.asarray(self.cs_table)          # [s, t, l, w]
-        lay = jnp.arange(self.nlayers)
-        lo = table[:, tlo, lay, :]                  # [s, l, w]
-        hi = table[:, tlo + 1, lay, :]
-        cs = lo * (1.0 - w_hi)[None, :, None] + hi * w_hi[None, :, None]
+        t_idx = jnp.arange(self.ntemp)[:, None]     # [t, 1]
+        # Two-nonzero lerp weights per layer, [t, l]:
+        w_t = (
+            (t_idx == tlo[None, :]) * (1.0 - w_hi)[None, :]
+            + (t_idx == tlo[None, :] + 1) * w_hi[None, :]
+        )
+        cs = jnp.einsum('tl,stlw->slw', w_t, table)
         if per_mol:
             return cs
         return jnp.sum(cs, axis=0)

@@ -102,7 +102,17 @@ def lin_interp_trow(table, xin, dy_dx, xout, lo=0, hi=None):
         hi = ncol
     idx = jnp.clip(jnp.searchsorted(xin, xout, side='right') - 1, 0, nx - 2)
     deltax = xout - xin[idx]
-    out = table[idx] + deltax[:, None] * dy_dx[idx]
+    # Row selection as a dense contraction over the (small) x axis
+    # instead of a row gather: under vmap over retrieval chains the
+    # gather re-reads [len(xout), ncol] rows per chain, while the
+    # einsum reads the table once and runs on the MXU.  The 0/1
+    # selection weights make this bit-identical to table[idx].
+    sel = (
+        jnp.arange(nx)[:, None] == idx[None, :]
+    ).astype(table.dtype)                              # [nx, nout]
+    base = jnp.einsum('xX,xc->Xc', sel, table)
+    slope = jnp.einsum('xX,xc->Xc', sel[:nx - 1], dy_dx)
+    out = base + deltax[:, None] * slope
     # On exact-grid hits the reference takes the row as-is; linear interp
     # with deltax=0 gives the same result, so no special case is needed.
     col = jnp.arange(ncol)

@@ -228,6 +228,20 @@ def build_forward(model, obs=None, ret=None, dtype=None):
             else:
                 sflux = starflux
             spectrum = spectrum / sflux * (rplanet / model.rstar)**2
+        if rt_path == 'f_lambda':
+            # Flux observed at Earth in W m-2 um-1 (reference
+            # pyrat_obj.py:325-330): 10x converts
+            # erg s-1 cm-2 cm -> W m-2 um-1 after the (wn um)^2
+            # wavelength-unit Jacobian:
+            if model.distance is None:
+                raise ValueError(
+                    'Undefined distance to the system, required for '
+                    'f_lambda flux'
+                )
+            spectrum = (
+                10.0 * spectrum
+                * (rplanet / model.distance * jnp.asarray(wn) * pc.um)**2
+            )
 
         # ---- Rejection logic:
         good = (

@@ -54,6 +54,45 @@ out['eval_uncert'] = np.asarray(result.obs.uncert)
 '''
 
 
+def test_eval_parity_f_lambda(ref_root):
+    """rt_path=f_lambda: flux at Earth in W m-2 um-1 (reference
+    eval() conversion, pyrat_obj.py:325-330)."""
+    from pyratbay_tpu.model import Model
+    from pyratbay_tpu.observation import Observation
+    from pyratbay_tpu.retrieval import RetrievalParams, build_forward
+
+    reset = {
+        'logfile': '{ROOT}tests/outputs/eval_flambda.log',
+        'rt_path': 'f_lambda',
+        'distance': '10 pc',
+        'tmodel': 'guillot',
+        'tpars': '-4.67 -0.8 -0.8 0.5 1486.0 100.0',
+        'retrieval_params': 'T_irr 1486.0 100.0 3000.0 50.0',
+        'tlow': '300',
+        'thigh': '3000',
+    }
+    cfg = _write_cfg(
+        'eval_flambda',
+        '{}tests/configs/spectrum_emission_test.cfg'.format(ref_root),
+        reset=reset,
+        remove=['sampled_cross_sec', 'alkali', 'clouds'],
+    )
+    post = '''
+out['ret_params'] = np.copy(result.ret.params)
+spectrum, bandflux = result.eval(np.array([1400.0]))
+out['eval_spectrum'] = np.asarray(spectrum)
+'''
+    ref = _ref_run('eval_flambda', cfg, post=post)
+
+    model = Model(cfg, root=ref_root)
+    ret = RetrievalParams(model)
+    forward = build_forward(model, None, ret)
+    out = forward(np.array([1400.0]))
+    np.testing.assert_allclose(
+        np.asarray(out['spectrum']), ref['eval_spectrum'], rtol=1e-4,
+    )
+
+
 def test_eval_parity(ref_root):
     from pyratbay_tpu.model import Model
     from pyratbay_tpu.observation import Observation

@@ -413,11 +413,14 @@ def test_spectrum_inconsistent_wl_bounds(tmp_path):
 
 @requires_reference
 def test_model_missing_atmosphere(tmp_path):
+    # Reference check_pressure message (pyrat/atmosphere.py:960-964):
     cfg = make_config(tmp_path, remove=['atmfile'])
-    with pytest.raises(
-            ValueError,
-            match='Missing atmosphere: provide atmfile or '
-                  'nlayers/ptop/pbottom'):
+    error = re.escape(
+        'Cannot compute pressure profile, either set {ptop, pbottom, '
+        'nlayers} parameters, or provide an input PT profile (ptfile) '
+        'or atmospheric file (atmfile)'
+    )
+    with pytest.raises(ValueError, match=error):
         Model(cfg, root=REFERENCE_ROOT)
 
 
