@@ -88,7 +88,7 @@ class DirectLBL:
     """Direct-evaluation LBL sampler over a static wavenumber grid."""
 
     def __init__(self, lbl, wn=None, tile=128, cutoff=None, tile_core=8,
-                 margin=None, tmax_bound=None):
+                 margin=None, tmax_bound=None, use_pallas=None):
         """
         Parameters
         ----------
@@ -105,8 +105,14 @@ class DirectLBL:
             tmax_bound).
         tmax_bound: temperature bound for the static margin (default:
             1.5x the lbl tmax, or 6000 K).
+        use_pallas: wing-pass backend for the batched cross section:
+            True/False force, 'interpret' runs the pallas interpreter
+            (CPU tests), None auto-enables on TPU for single-species
+            engines (see opacity/lbl_pallas.py).  PBT_LBL_PALLAS=0
+            disables the auto path.
         """
         self.lbl = lbl
+        self.use_pallas = use_pallas
         self.wn = np.asarray(wn if wn is not None else lbl.wn, np.float64)
         self.nwave = len(self.wn)
         self.tile = int(tile)
@@ -346,8 +352,8 @@ class DirectLBL:
         contrib = jnp.where(mask, voigt * scale[None, :], 0.0)
         return self._spec_contract(tables, 'c_', contrib, iso_row)
 
-    def _cross_section(self, tables, temp, densities, iso_pf):
-        """sigma [nspec, nwave] (cm2/molec) at one (T, densities) cell."""
+    def _cell_factors(self, tables, temp, densities, iso_pf):
+        """Per-cell line factors for both passes, kmax-normalized."""
         temp = jnp.asarray(temp)
         alphal_iso, fdop_iso = self._layer_widths_t(
             tables, temp, densities,
@@ -368,6 +374,80 @@ class DirectLBL:
         # => c1 = y * scale / sqrt(pi):
         c1_w = y_w * scale_w * (1.0 / _SQRT_PI)
         y2_w = y_w * y_w
+        return {
+            'kmax': kmax,
+            'c1_w': c1_w, 'y2_w': y2_w, 'inv_ad_w': inv_ad_w,
+            'scale_c': scale_c, 'y_c': y_c, 'inv_ad_c': inv_ad_c,
+        }
+
+    def _core_cell(self, tables, fac):
+        """Core pass at one cell -> [ntiles_core, nspec, tile_core]."""
+        return jax.vmap(
+            lambda a: self._core_tile(tables, a),
+        )((tables['wn_core_hi'], tables['wn_core_lo'],
+           tables['c_lwn_hi'], tables['c_lwn_lo'],
+           fac['scale_c'], fac['y_c'], fac['inv_ad_c'],
+           tables['c_iso']))
+
+    def _pallas_mode(self):
+        """Static wing-pass backend decision (trace-time Python).
+
+        Opt-in (PBT_LBL_PALLAS=1 or use_pallas=True) while the kernel
+        is validated against driver-captured TPU numbers; the XLA wing
+        path remains the default."""
+        import os
+        if self.use_pallas is not None:
+            return self.use_pallas
+        if os.environ.get('PBT_LBL_PALLAS', '0') != '1':
+            return False
+        return self.nspec == 1 and jax.default_backend() == 'tpu'
+
+    def _cross_section_batch(self, tables, temps, densities, iso_pfs):
+        """sigma [ncell, nspec, nwave] over a batch of cells.
+
+        On TPU (nspec == 1) the wing pass runs as a pallas kernel over
+        the (cell, tile, line-chunk) grid (opacity/lbl_pallas.py); the
+        core pass (few pairs, Faddeeva-heavy) stays on the XLA path.
+        """
+        mode = self._pallas_mode()
+        if not mode:
+            return jax.vmap(
+                self._cross_section, in_axes=(None, 0, 0, 0),
+            )(tables, temps, densities, iso_pfs)
+
+        from .lbl_pallas import wing_sigma
+        fac = jax.vmap(
+            self._cell_factors, in_axes=(None, 0, 0, 0),
+        )(tables, temps, densities, iso_pfs)
+        dtype = fac['c1_w'].dtype
+        wing = wing_sigma(
+            tables['wn_tiles_hi'].astype(dtype),
+            tables['wn_tiles_lo'].astype(dtype),
+            tables['w_lwn_hi'].astype(dtype),
+            tables['w_lwn_lo'].astype(dtype),
+            fac['c1_w'], fac['y2_w'], fac['inv_ad_w'],
+            margin=self.margin, cutoff=self.cutoff,
+            interpret=(mode == 'interpret'),
+        )   # [ncell, ntiles, tile]
+        ncell = wing.shape[0]
+        core = jax.vmap(
+            lambda f: self._core_cell(tables, f),
+        )(fac)  # [ncell, ntiles_core, nspec, tile_core]
+        sigma = (
+            wing.reshape(ncell, 1, -1)[:, :, :self.nwave]
+            + jnp.moveaxis(core, 2, 1).reshape(ncell, self.nspec, -1)[
+                :, :, :self.nwave]
+        )
+        return sigma * fac['kmax'][:, None, None]
+
+    def _cross_section(self, tables, temp, densities, iso_pf):
+        """sigma [nspec, nwave] (cm2/molec) at one (T, densities) cell."""
+        fac = self._cell_factors(tables, temp, densities, iso_pf)
+        kmax = fac['kmax']
+        c1_w, y2_w, inv_ad_w = fac['c1_w'], fac['y2_w'], fac['inv_ad_w']
+        scale_c, y_c, inv_ad_c = (
+            fac['scale_c'], fac['y_c'], fac['inv_ad_c'],
+        )
 
         # vmap (not lax.map/scan): the sequential-loop lowering stalls
         # the TPU compiler at scale, while the batched form fuses the
@@ -417,10 +497,12 @@ class DirectLBL:
         ])
 
         def ec_fn(temp, dens):
-            def layer(t, d):
-                pf = self._iso_pf_t(tables, t)
-                return self._cross_section(tables, t, d, pf)
-            cs = jax.vmap(layer)(temp, dens)   # [nl, nspec, nwave]
+            pf = jax.vmap(
+                lambda t: self._iso_pf_t(tables, t),
+            )(temp)                            # [nl, niso]
+            cs = self._cross_section_batch(
+                tables, temp, dens, pf,
+            )                                  # [nl, nspec, nwave]
             return jnp.sum(
                 cs * dens[:, imol_of_spec][:, :, None], axis=1,
             )
@@ -486,12 +568,10 @@ class DirectLBL:
         pf_all = pf.reshape(nblocks, block, -1).astype(np.float32)
 
         if self._sweep is None:
-            cs_batch = jax.vmap(
-                self._cross_section, in_axes=(None, 0, 0, 0),
-            )
             self._sweep = jax.jit(
                 lambda tables, t, d, p: jax.lax.map(
-                    lambda a: cs_batch(tables, *a), (t, d, p),
+                    lambda a: self._cross_section_batch(tables, *a),
+                    (t, d, p),
                 ),
             )
         tables = self.tables()

@@ -174,6 +174,10 @@ def _shard_direct_lbl(engine, mesh, nshards):
     Tile rows are duplicated up to a shard multiple; the engine's
     flatten-and-slice ([:, :nwave]) discards the extra outputs.
     """
+    # GSPMD cannot partition an opaque pallas_call along the sharded
+    # tile axis; a sharded engine uses the XLA wing path (which GSPMD
+    # splits tile-wise for free):
+    engine.use_pallas = False
     pad_wing = (-engine.ntiles) % nshards
     pad_core = (-engine.ntiles_core) % nshards
     sharded = {}
