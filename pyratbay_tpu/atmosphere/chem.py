@@ -224,6 +224,25 @@ _ATOMS = {
                    (978.07, 1), (6928.27, 11), (7376.76, 9),
                    (7728.06, 7), (7985.78, 5), (8154.71, 3),
                    (11976.24, 9), (12560.93, 7), (12968.55, 5))),
+    # Metals / P / Cl (NIST ASD levels; JANAF/CODATA DfH298):
+    'Mg': (147.10, ((0.0, 1), (21850.405, 1), (21870.464, 3),
+                    (21911.178, 5), (35051.264, 3))),
+    'Ca': (177.80, ((0.0, 1), (15157.901, 1), (15210.063, 3),
+                    (15315.943, 5), (21849.634, 5), (23652.304, 3))),
+    'Al': (330.00, ((0.0, 2), (112.061, 4), (25347.756, 2),
+                    (32435.45, 10))),
+    'Cr': (397.48, ((0.0, 7), (7593.16, 5), (7750.78, 1),
+                    (7810.82, 3), (7927.47, 5), (8095.21, 7),
+                    (8307.57, 9))),
+    'Mn': (283.30, ((0.0, 6), (17052.29, 10), (17282.00, 8),
+                    (17451.52, 6), (17568.48, 4), (17637.15, 2),
+                    (18402.46, 6), (18531.64, 8), (18705.37, 10))),
+    'Ni': (430.10, ((0.0, 9), (204.787, 7), (879.816, 5),
+                    (1332.164, 7), (1713.087, 3), (2216.55, 5),
+                    (3409.94, 5))),
+    'P':  (316.50, ((0.0, 4), (11361.02, 4), (11376.63, 6),
+                    (18722.71, 2), (18748.01, 4))),
+    'Cl': (121.30, ((0.0, 4), (882.352, 2))),
     # Ions (electron convention; DfH298 = neutral + IE0K + 6.197 kJ/mol,
     # JANAF values):
     'e-':  (0.0, ((0.0, 2),)),
@@ -245,6 +264,33 @@ _DIATOMICS = {
             ((0.0, 4), (9499.0, 8), (12606.0, 8), (17420.0, 4))),
     'SiO': (-100.4, 1241.54, 0.72675, 1, ((0.0, 1),)),
     'SH':  (142.9, 2696.2, 9.4611, 1, ((0.0, 2), (377.0, 2))),
+    # Huber & Herzberg (1979) constants; JANAF DfH298 unless noted:
+    'HCl': (-92.31, 2990.946, 10.5934, 1, ((0.0, 1),)),
+    'Cl2': (0.0, 559.75, 0.24415, 2, ((0.0, 1),)),
+    'NaCl': (-181.42, 364.68, 0.218063, 1, ((0.0, 1),)),
+    'KCl': (-214.57, 279.80, 0.128635, 1, ((0.0, 1),)),
+    'MgH': (229.79, 1495.20, 5.8257, 1, ((0.0, 2),)),
+    'CaH': (230.0, 1298.34, 4.2766, 1, ((0.0, 2),)),   # D0 ~1.70 eV
+    'AlH': (259.2, 1682.56, 6.3907, 1, ((0.0, 1),)),
+    'AlO': (66.94, 979.23, 0.64136, 1, ((0.0, 2),)),
+    'SiH': (376.66, 2041.80, 7.4996, 1, ((0.0, 2), (142.8, 2))),
+    'SiS': (112.5, 749.64, 0.30353, 1, ((0.0, 1),)),
+    'CS': (280.33, 1285.15, 0.82004, 1, ((0.0, 1),)),
+    'SO': (5.01, 1149.20, 0.72082, 1, ((0.0, 3),)),
+    'PO': (-27.5, 1233.34, 0.73264, 1, ((0.0, 2), (224.0, 2))),
+    'P2': (144.0, 780.77, 0.30362, 2, ((0.0, 1),)),
+    # FeH/CrH/FeO DfH298 from D0 (Dulick 2003; Burcat); +-10 kJ/mol:
+    'FeH': (460.0, 1826.86, 6.499, 1, ((0.0, 8),)),
+    'CrH': (427.0, 1581.0, 6.132, 1, ((0.0, 6),)),
+    'FeO': (251.04, 880.0, 0.519, 1, ((0.0, 10),)),
+}
+
+# Linear polyatomics (RRHO):
+# name -> (DfH298, B [cm-1], (modes...; bends listed twice) [cm-1],
+#          sigma, g_elec)
+_LINEAR = {
+    'OCS': (-138.41, 0.202857, (858.97, 520.4, 520.4, 2062.2), 1, 1),
+    'CS2': (116.94, 0.109100, (658.0, 397.0, 397.0, 1535.35), 2, 1),
 }
 
 # Nonlinear polyatomics (RRHO):
@@ -253,6 +299,17 @@ _POLYATOMICS = {
     'H2S': (-20.5, (10.360, 8.991, 6.611), (1182.6, 2614.4, 2628.5), 2, 1),
     'SO2': (-296.8, (2.0274, 0.34417, 0.29353),
             (1151.4, 517.7, 1361.8), 2, 1),
+    'PH3': (5.47, (4.4537, 4.4537, 3.919),
+            (2323.0, 992.0, 2328.0, 2328.0, 1118.0, 1118.0), 3, 1),
+    'SO3': (-395.77, (0.34854, 0.34854, 0.17427),
+            (1064.9, 497.5, 1391.5, 1391.5, 530.2, 530.2), 6, 1),
+    'SiH4': (34.31, (2.859, 2.859, 2.859),
+             (2186.9, 974.6, 974.6, 2189.2, 2189.2, 2189.2,
+              913.5, 913.5, 913.5), 12, 1),
+    # TiO2 gas (JANAF DfH298; bent C2v, computed rotational constants
+    # and matrix-isolation fundamentals; S298 uncertainty ~2 J/mol/K):
+    'TiO2': (-305.43, (1.085, 0.2983, 0.2309),
+             (946.9, 330.0, 917.1), 2, 1),
 }
 
 # GRI-Mech shipped older formation enthalpies for a few species; pin
@@ -310,13 +367,14 @@ def species_mass(name):
 def has_thermo(name):
     return (
         name in _NASA7 or name in _ATOMS or name in _DIATOMICS
-        or name in _POLYATOMICS
+        or name in _POLYATOMICS or name in _LINEAR
     )
 
 
 def supported_species():
     return sorted(
-        set(_NASA7) | set(_ATOMS) | set(_DIATOMICS) | set(_POLYATOMICS)
+        set(_NASA7) | set(_ATOMS) | set(_DIATOMICS)
+        | set(_POLYATOMICS) | set(_LINEAR)
     )
 
 
@@ -407,6 +465,19 @@ def _statmech_thermo(name, temp):
             s = (_trans_entropy(species_mass(name), t)
                  + np.log(q_rot) + 1.0 + s_vib + s_el)
             return e_rt, s
+        if name in _LINEAR:
+            dfh, be, modes, sigma, g_el = _LINEAR[name]
+            q_rot = t / (sigma * _C2_CM * be)
+            e_vib = np.zeros_like(t)
+            s_vib = np.zeros_like(t)
+            for mode in modes:
+                ev, sv = _vib_parts(mode, t)
+                e_vib += ev
+                s_vib += sv
+            e_rt = 1.5 + 1.0 + e_vib
+            s = (_trans_entropy(species_mass(name), t)
+                 + np.log(q_rot) + 1.0 + s_vib + np.log(g_el))
+            return e_rt, s
         dfh, rots, modes, sigma, g_el = _POLYATOMICS[name]
         ta, tb, tc_ = (_C2_CM * r for r in rots)
         q_rot = np.sqrt(np.pi * t**3 / (ta * tb * tc_)) / sigma
@@ -425,6 +496,8 @@ def _statmech_thermo(name, temp):
         dfh = _ATOMS[name][0]
     elif name in _DIATOMICS:
         dfh = _DIATOMICS[name][0]
+    elif name in _LINEAR:
+        dfh = _LINEAR[name][0]
     else:
         dfh = _POLYATOMICS[name][0]
 

@@ -33,7 +33,27 @@ LITERATURE = {
     'Na+': (609.36, 148.0), 'K+': (514.26, 154.6),
     'TiO': (54.4, 233.4), 'SiO': (-100.4, 211.6),
     'H2S': (-20.5, 205.81), 'SO2': (-296.8, 248.2),
+    # Metal / P / Cl network extension (JANAF):
+    'Mg': (147.10, 148.65), 'Ca': (177.80, 154.89),
+    'Al': (330.00, 164.55), 'Cr': (397.48, 174.31),
+    'Mn': (283.30, 173.72), 'Ni': (430.10, 182.19),
+    'P': (316.50, 163.20), 'Cl': (121.30, 165.19),
+    'HCl': (-92.31, 186.90), 'Cl2': (0.0, 223.08),
+    'NaCl': (-181.42, 229.81), 'KCl': (-214.57, 239.10),
+    'MgH': (229.79, 193.20), 'AlH': (259.2, 187.88),
+    'AlO': (66.94, 218.39), 'SiS': (112.5, 223.66),
+    'CS': (280.33, 210.55), 'SO': (5.01, 221.94),
+    'PO': (-27.5, 222.78), 'P2': (144.0, 218.13),
+    'FeO': (251.04, 241.92),
+    'PH3': (5.47, 210.24), 'SO3': (-395.77, 256.77),
+    'SiH4': (34.31, 204.65), 'OCS': (-138.41, 231.57),
+    'CS2': (116.94, 237.88),
 }
+
+# Species whose literature DfH298 carries >5 kJ/mol uncertainty (FeH,
+# CrH: D0-derived; CaH: D0 ~1.70 eV; TiO2, SiH: structure/level data):
+# pin only that thermo evaluates finite and monotone-S.
+LOOSE_SPECIES = ['CaH', 'FeH', 'CrH', 'TiO2', 'SiH']
 
 
 @pytest.mark.parametrize('species', sorted(LITERATURE))
@@ -42,6 +62,55 @@ def test_thermo_literature_pins(species):
     h, s = chem.thermo_properties(species, 298.15)
     assert h[0] * R_GAS * 298.15 / 1000.0 == pytest.approx(dfh_lit, abs=3.0)
     assert s[0] * R_GAS == pytest.approx(s_lit, abs=2.0)
+
+
+@pytest.mark.parametrize('species', LOOSE_SPECIES)
+def test_thermo_loose_species_sane(species):
+    temps = np.array([300.0, 1000.0, 3000.0])
+    h, s = chem.thermo_properties(species, temps)
+    assert np.all(np.isfinite(h)) and np.all(np.isfinite(s))
+    assert np.all(np.diff(s) > 0)      # S(T) strictly increasing
+    # Cp = d(H)/dT must stay above the translational floor 5R/2:
+    hj = chem.thermo_properties(species, temps + 1.0)[0]
+    cp = (hj * (temps + 1.0) - h * temps)
+    assert np.all(cp > 2.49)
+
+
+def test_pcl_network_equilibrium():
+    """P/Cl/metal chemistry in a solar-composition H2 atmosphere:
+    PH3 and HCl are the low-T reservoirs (Visscher et al. 2006),
+    atomic Mg/Fe dominate their elements at high T."""
+    press = np.full(4, 1.0)                    # bar
+    temp = np.array([500.0, 500.0, 2500.0, 2500.0])
+    species = (
+        'H2 He H H2O CH4 CO PH3 PO P P2 HCl Cl NaCl KCl Na K '
+        'Mg MgH Fe FeH'
+    ).split()
+    net = chem.Network(press, temp, species)
+    vmr = net.thermochemical_equilibrium()
+    idx = {s: i for i, s in enumerate(net.species)}
+    # Low T: PH3 carries nearly all P; with solar Na+K > Cl, the
+    # gas-only network locks Cl into the alkali chlorides:
+    p_total = sum(
+        vmr[0, idx[s]] * n for s in ('PH3', 'PO', 'P', 'P2')
+        for n in [chem.parse_formula(s)[0].get('P', 0)]
+    )
+    cl_total = sum(
+        vmr[0, idx[s]] for s in ('HCl', 'Cl', 'NaCl', 'KCl')
+    )
+    assert vmr[0, idx['PH3']] > 0.9 * p_total
+    assert (
+        vmr[0, idx['NaCl']] + vmr[0, idx['KCl']] > 0.9 * cl_total
+    )
+    # High T: atoms win over hydrides, HCl over the chlorides:
+    assert vmr[2, idx['Mg']] > vmr[2, idx['MgH']]
+    assert vmr[2, idx['P']] + vmr[2, idx['PO']] > vmr[2, idx['PH3']]
+    assert vmr[2, idx['HCl']] > 10 * (
+        vmr[2, idx['NaCl']] + vmr[2, idx['KCl']]
+    )
+    # Element conservation across the T jump (bulk H2/He fixed):
+    assert vmr.shape == (4, len(net.species))
+    assert np.all(np.isfinite(vmr)) and np.all(vmr >= 0)
 
 
 @pytest.mark.parametrize('species', sorted(chem._NASA7))
