@@ -198,9 +198,10 @@ def _lbl_rates(n_iter=10, block=8):
     )
     pf = lines.iso_pf(temps).T
 
-    batched = jax.jit(jax.vmap(
-        direct._cross_section, in_axes=(None, 0, 0, 0),
-    ))
+    # The batched entry routes the wing/core passes through the pallas
+    # kernels on TPU (opacity/lbl_pallas.py); PBT_LBL_PALLAS=0 falls
+    # back to the XLA lowering:
+    batched = jax.jit(direct._cross_section_batch)
     args = (
         direct.tables(),
         jnp.asarray(temps, jnp.float32),

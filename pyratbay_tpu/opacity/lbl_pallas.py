@@ -43,7 +43,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['wing_sigma']
+from ..ops.special import wofz_real
+
+__all__ = ['wing_sigma', 'core_sigma']
 
 
 def _round_up(value, mult):
@@ -96,7 +98,7 @@ def _wing_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, c1_ref, y2_ref,
                      'approx_recip'),
 )
 def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, *,
-               margin, cutoff, lchunk=512, interpret=False,
+               margin, cutoff, lchunk=1024, interpret=False,
                approx_recip=True):
     """Batched wing-pass cross section, summed over lines.
 
@@ -188,3 +190,135 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, *,
         ),
     )(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad)
     return out.reshape(ncell, ntiles, tile)
+
+
+def _core_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, scale_ref, y_ref,
+                 iad_ref, out_ref, *, margin, group, tile_core):
+    """One (cell, tile-group) grid step of the core pass: full
+    Faddeeva over a [group*tile_core, lpad] pair block."""
+    npts = group * tile_core
+
+    def rep(rows):                     # [group, lpad] -> [npts, lpad]
+        lpad = rows.shape[-1]
+        return jnp.broadcast_to(
+            rows[:, None, :], (group, tile_core, lpad),
+        ).reshape(npts, lpad)
+
+    wh = wnh_ref[0, 0, :][:, None]     # [npts, 1]
+    wl = wnl_ref[0, 0, :][:, None]
+    lh = rep(lwh_ref[0])               # [npts, lpad]
+    ll = rep(lwl_ref[0])
+    scale = rep(scale_ref[0, 0])
+    yy = rep(y_ref[0, 0])
+    iad = rep(iad_ref[0, 0])
+
+    dwn = (wh - lh) + (wl - ll)
+    x = dwn * iad
+    voigt = wofz_real(x, yy)
+    contrib = jnp.where(jnp.abs(dwn) <= margin, voigt * scale, 0.0)
+    out_ref[0, 0, 0, :] = jnp.sum(contrib, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('margin', 'group', 'interpret'),
+)
+def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad, *,
+               margin, group=16, interpret=False):
+    """Batched core-pass cross section (full Faddeeva), summed over
+    lines.
+
+    The core pass uses fine output tiles (tile_core = 8 points) so its
+    candidate line windows stay tight; stacking `group` consecutive
+    fine tiles into one [group*tile_core, lines] pair block restores
+    VPU-shaped work (the XLA path dispatches 8-row ops).
+
+    Parameters
+    ----------
+    wn_hi, wn_lo: [ntiles, tile_core] -- fine output tiles (hi/lo).
+    lwn_hi, lwn_lo: [ntiles, lmax] -- per-tile line windows.
+    scale, y, inv_ad: [ncell, ntiles, lmax] -- per-cell line factors
+        (scale = exp(logk - logkmax) * inv_ad / sqrt(pi)).
+    margin: static core/wing split distance (cm-1).
+
+    Returns
+    -------
+    sigma [ncell, ntiles, tile_core].
+    """
+    ncell, ntiles, lmax = scale.shape
+    tile_core = wn_hi.shape[1]
+    dtype = scale.dtype
+
+    lpad = _round_up(lmax, 128)
+    ntpad = _round_up(ntiles, group)
+    pad_t = ntpad - ntiles
+    pad_l = lpad - lmax
+    if pad_l:
+        # Padded lines sit far away: the margin mask rejects them.
+        lwn_hi = jnp.pad(
+            lwn_hi, ((0, 0), (0, pad_l)), constant_values=1e9,
+        )
+        lwn_lo = jnp.pad(lwn_lo, ((0, 0), (0, pad_l)))
+        pad_c = ((0, 0), (0, 0), (0, pad_l))
+        scale = jnp.pad(scale, pad_c)
+        y = jnp.pad(y, pad_c, constant_values=1.0)
+        inv_ad = jnp.pad(inv_ad, pad_c)
+    if pad_t:
+        # Padded tile rows replicate the last tile; the caller's
+        # [:ntiles] slice drops their outputs.
+        lwn_hi = jnp.pad(lwn_hi, ((0, pad_t), (0, 0)), mode='edge')
+        lwn_lo = jnp.pad(lwn_lo, ((0, pad_t), (0, 0)), mode='edge')
+        wn_hi = jnp.pad(wn_hi, ((0, pad_t), (0, 0)), mode='edge')
+        wn_lo = jnp.pad(wn_lo, ((0, pad_t), (0, 0)), mode='edge')
+        pad_c = ((0, 0), (0, pad_t), (0, 0))
+        scale = jnp.pad(scale, pad_c)
+        y = jnp.pad(y, pad_c, constant_values=1.0)
+        inv_ad = jnp.pad(inv_ad, pad_c)
+    ngroup = ntpad // group
+    npts = group * tile_core
+
+    wn_hi = wn_hi.reshape(ngroup, 1, npts)
+    wn_lo = wn_lo.reshape(ngroup, 1, npts)
+    lwn_hi = lwn_hi.reshape(ngroup, group, lpad)
+    lwn_lo = lwn_lo.reshape(ngroup, group, lpad)
+    scale = scale.reshape(ncell, ngroup, group, lpad)
+    y = y.reshape(ncell, ngroup, group, lpad)
+    inv_ad = inv_ad.reshape(ncell, ngroup, group, lpad)
+
+    kernel = functools.partial(
+        _core_kernel,
+        margin=float(margin), group=group, tile_core=tile_core,
+    )
+    wn_spec = pl.BlockSpec(
+        (1, 1, npts), lambda b, g: (g, 0, 0), memory_space=pltpu.VMEM,
+    )
+    line_spec = pl.BlockSpec(
+        (1, group, lpad), lambda b, g: (g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cell_spec = pl.BlockSpec(
+        (1, 1, group, lpad), lambda b, g: (b, g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncell, ngroup),
+        in_specs=[wn_spec, wn_spec, line_spec, line_spec,
+                  cell_spec, cell_spec, cell_spec],
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, npts), lambda b, g: (b, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ncell, ngroup, 1, npts), dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=250 * ncell * ngroup * npts * lpad,
+            bytes_accessed=4 * (
+                2 * ngroup * npts + 2 * ngroup * group * lpad
+                + 3 * ncell * ngroup * group * lpad
+                + ncell * ngroup * npts
+            ),
+            transcendentals=2 * ncell * ngroup * npts * lpad,
+        ),
+    )(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad)
+    return out.reshape(ncell, ntpad, tile_core)[:, :ntiles]

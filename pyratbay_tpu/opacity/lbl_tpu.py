@@ -390,15 +390,16 @@ class DirectLBL:
            tables['c_iso']))
 
     def _pallas_mode(self):
-        """Static wing-pass backend decision (trace-time Python).
+        """Static pass-backend decision (trace-time Python).
 
-        Opt-in (PBT_LBL_PALLAS=1 or use_pallas=True) while the kernel
-        is validated against driver-captured TPU numbers; the XLA wing
-        path remains the default."""
+        Default: pallas kernels on TPU for single-species engines
+        (measured faster than the XLA lowering at equal accuracy;
+        tests/test_lbl_pallas.py pins the parity).  PBT_LBL_PALLAS=0
+        disables; multi-species engines and CPU use the XLA path."""
         import os
         if self.use_pallas is not None:
             return self.use_pallas
-        if os.environ.get('PBT_LBL_PALLAS', '0') != '1':
+        if os.environ.get('PBT_LBL_PALLAS', '1') == '0':
             return False
         return self.nspec == 1 and jax.default_backend() == 'tpu'
 
@@ -415,11 +416,12 @@ class DirectLBL:
                 self._cross_section, in_axes=(None, 0, 0, 0),
             )(tables, temps, densities, iso_pfs)
 
-        from .lbl_pallas import wing_sigma
+        from .lbl_pallas import core_sigma, wing_sigma
         fac = jax.vmap(
             self._cell_factors, in_axes=(None, 0, 0, 0),
         )(tables, temps, densities, iso_pfs)
         dtype = fac['c1_w'].dtype
+        interpret = (mode == 'interpret')
         wing = wing_sigma(
             tables['wn_tiles_hi'].astype(dtype),
             tables['wn_tiles_lo'].astype(dtype),
@@ -427,16 +429,20 @@ class DirectLBL:
             tables['w_lwn_lo'].astype(dtype),
             fac['c1_w'], fac['y2_w'], fac['inv_ad_w'],
             margin=self.margin, cutoff=self.cutoff,
-            interpret=(mode == 'interpret'),
+            interpret=interpret,
         )   # [ncell, ntiles, tile]
         ncell = wing.shape[0]
-        core = jax.vmap(
-            lambda f: self._core_cell(tables, f),
-        )(fac)  # [ncell, ntiles_core, nspec, tile_core]
+        core = core_sigma(
+            tables['wn_core_hi'].astype(dtype),
+            tables['wn_core_lo'].astype(dtype),
+            tables['c_lwn_hi'].astype(dtype),
+            tables['c_lwn_lo'].astype(dtype),
+            fac['scale_c'], fac['y_c'], fac['inv_ad_c'],
+            margin=self.margin, interpret=interpret,
+        )   # [ncell, ntiles_core, tile_core]
         sigma = (
             wing.reshape(ncell, 1, -1)[:, :, :self.nwave]
-            + jnp.moveaxis(core, 2, 1).reshape(ncell, self.nspec, -1)[
-                :, :, :self.nwave]
+            + core.reshape(ncell, 1, -1)[:, :, :self.nwave]
         )
         return sigma * fac['kmax'][:, None, None]
 
