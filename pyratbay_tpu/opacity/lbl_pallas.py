@@ -16,6 +16,12 @@ tolerance; the asymptotic series itself is only good to ~2e-7):
 
     u = 1/(x^2 + y^2)   ->   r = recip_approx(d); u = r*(2 - d*r)
 
+Measured on v5e (50k-line probe, 8 cells, interleaved A/B): runtime
+parity with the XLA lowering (3.18 vs 3.20 ms median -- XLA's fusion
+is already near-optimal on this chain), but ~50x faster to compile
+(4.6 s vs 259 s), which dominates rebuild-heavy workflows (new
+wavelength range, new engine config) on a remote-compile tunnel.
+
 Layout (per grid step (cell b, wing tile i, line chunk j)):
 
     wn   [tile]  f32      output wavenumber tile       (lanes)
@@ -98,7 +104,7 @@ def _wing_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, c1_ref, y2_ref,
                      'approx_recip'),
 )
 def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, *,
-               margin, cutoff, lchunk=1024, interpret=False,
+               margin, cutoff, lchunk=4096, interpret=False,
                approx_recip=True):
     """Batched wing-pass cross section, summed over lines.
 
@@ -109,7 +115,10 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, *,
     c1, y2, inv_ad: [ncell, ntiles, lmax] f32 -- per-cell line factors
         (c1 = y * scale / sqrt(pi), y2 = y^2; see lbl_tpu._wing_tile).
     margin, cutoff: static core/wing split and wing cutoff (cm-1).
-    lchunk: lines per inner grid step (VMEM blocking).
+    lchunk: lines per inner grid step (VMEM blocking).  The default
+        covers typical windows in ONE chunk per tile: the j-loop's
+        output read-modify-write and sub-1024 chunk dispatches cost
+        ~40% of the kernel's throughput (measured on v5e).
     interpret: run in the pallas interpreter (CPU tests).
     approx_recip: approximate reciprocal + one Newton step instead of a
         full divide (TPU only; the interpreter path always divides).

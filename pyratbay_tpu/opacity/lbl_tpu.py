@@ -392,10 +392,12 @@ class DirectLBL:
     def _pallas_mode(self):
         """Static pass-backend decision (trace-time Python).
 
-        Default: pallas kernels on TPU for single-species engines
-        (measured faster than the XLA lowering at equal accuracy;
-        tests/test_lbl_pallas.py pins the parity).  PBT_LBL_PALLAS=0
-        disables; multi-species engines and CPU use the XLA path."""
+        Default: pallas kernels on TPU for single-species engines --
+        runtime parity with the XLA lowering at equal accuracy
+        (tests/test_lbl_pallas.py) but ~50x faster to compile (4.6 s
+        vs 259 s for the 50k-line probe on the v5e tunnel).
+        PBT_LBL_PALLAS=0 disables; multi-species engines and CPU use
+        the XLA path."""
         import os
         if self.use_pallas is not None:
             return self.use_pallas
