@@ -59,10 +59,15 @@ def _round_up(value, mult):
 
 
 def _wing_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, c1_ref, y2_ref,
-                 iad_ref, out_ref, *, margin, cutoff, approx_recip):
+                 iad_ref, *rest, margin, cutoff, approx_recip,
+                 multispec):
     """One (cell, tile, line-chunk) grid step: accumulate the masked
     asymptotic-series contributions of `lchunk` lines onto `tile`
-    output points."""
+    output points (per species when `multispec`)."""
+    if multispec:
+        oh_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     j = pl.program_id(2)
 
     wh = wnh_ref[0, 0, :][:, None]     # [tile, 1]
@@ -87,7 +92,15 @@ def _wing_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, c1_ref, y2_ref,
     adwn = jnp.abs(dwn)
     mask = (adwn > margin) & (adwn <= cutoff)
     contrib = jnp.where(mask, c1 * u * s, 0.0)
-    part = jnp.sum(contrib, axis=1)    # reduce over lines -> [tile]
+    if multispec:
+        # Species split as an MXU contraction with the static one-hot
+        # [nspec_pad, lchunk]: -> [nspec_pad, tile], flattened.
+        part = jax.lax.dot_general(
+            oh_ref[0], contrib, (((1,), (1,)), ((), ())),
+            preferred_element_type=contrib.dtype,
+        ).reshape(-1)
+    else:
+        part = jnp.sum(contrib, axis=1)   # -> [tile]
 
     @pl.when(j == 0)
     def _():
@@ -103,9 +116,9 @@ def _wing_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, c1_ref, y2_ref,
     static_argnames=('margin', 'cutoff', 'lchunk', 'interpret',
                      'approx_recip'),
 )
-def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, *,
-               margin, cutoff, lchunk=4096, interpret=False,
-               approx_recip=True):
+def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad,
+               spec_onehot=None, *, margin, cutoff, lchunk=4096,
+               interpret=False, approx_recip=True):
     """Batched wing-pass cross section, summed over lines.
 
     Parameters
@@ -114,6 +127,9 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, *,
     lwn_hi, lwn_lo: [ntiles, lmax] f32 -- per-tile line windows.
     c1, y2, inv_ad: [ncell, ntiles, lmax] f32 -- per-cell line factors
         (c1 = y * scale / sqrt(pi), y2 = y^2; see lbl_tpu._wing_tile).
+    spec_onehot: [ntiles, nspec_pad, lmax] static one-hot of each
+        line's species (nspec_pad a multiple of 8), or None for
+        single-species engines.
     margin, cutoff: static core/wing split and wing cutoff (cm-1).
     lchunk: lines per inner grid step (VMEM blocking).  The default
         covers typical windows in ONE chunk per tile: the j-loop's
@@ -125,12 +141,15 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, *,
 
     Returns
     -------
-    sigma [ncell, ntiles, tile] -- normalized wing cross sections
-        (caller multiplies by its per-cell kmax).
+    sigma [ncell, ntiles, tile] (or [ncell, nspec_pad, ntiles, tile]
+        with spec_onehot) -- normalized wing cross sections (caller
+        multiplies by its per-cell kmax).
     """
     ncell, ntiles, lmax = c1.shape
     tile = wn_hi.shape[1]
     dtype = c1.dtype
+    multispec = spec_onehot is not None
+    nsp = spec_onehot.shape[1] if multispec else 1
 
     lchunk = min(lchunk, _round_up(lmax, 128))
     lpad = _round_up(lmax, lchunk)
@@ -143,6 +162,10 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, *,
         c1 = jnp.pad(c1, pad_c)
         y2 = jnp.pad(y2, pad_c, constant_values=1.0)
         inv_ad = jnp.pad(inv_ad, pad_c)
+        if multispec:
+            spec_onehot = jnp.pad(
+                spec_onehot, ((0, 0), (0, 0), (0, lpad - lmax)),
+            )
     nlchunk = lpad // lchunk
 
     if interpret:
@@ -153,6 +176,7 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, *,
         margin=float(margin),
         cutoff=float(cutoff),
         approx_recip=approx_recip,
+        multispec=multispec,
     )
     # Mosaic block shapes: the last two dims must tile (8, 128) or
     # equal the array's -- give every operand a singleton sublane dim
@@ -178,33 +202,52 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, *,
         (1, 1, tile), lambda b, i, j: (i, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    in_specs = [wn_spec, wn_spec, line_spec, line_spec,
+                cell_spec, cell_spec, cell_spec]
+    operands = [wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad]
+    if multispec:
+        in_specs.append(pl.BlockSpec(
+            (1, nsp, lchunk), lambda b, i, j: (i, 0, j),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(spec_onehot.astype(dtype))
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[wn_spec, wn_spec, line_spec, line_spec,
-                  cell_spec, cell_spec, cell_spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, 1, tile), lambda b, i, j: (b, i, 0, 0),
+            (1, 1, 1, nsp * tile), lambda b, i, j: (b, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((ncell, ntiles, 1, tile), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (ncell, ntiles, 1, nsp * tile), dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=22 * ncell * ntiles * lpad * tile,
+            flops=(22 + 2 * nsp) * ncell * ntiles * lpad * tile,
             bytes_accessed=(
-                4 * (2 * ntiles * tile + 2 * ntiles * lpad
-                     + 3 * ncell * ntiles * lpad + ncell * ntiles * tile)
+                4 * (2 * ntiles * tile + (2 + nsp) * ntiles * lpad
+                     + 3 * ncell * ntiles * lpad
+                     + nsp * ncell * ntiles * tile)
             ),
             transcendentals=0,
         ),
-    )(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad)
+    )(*operands)
+    if multispec:
+        # [ncell, ntiles, nsp, tile] -> [ncell, nsp, ntiles, tile]:
+        return jnp.moveaxis(
+            out.reshape(ncell, ntiles, nsp, tile), 2, 1,
+        )
     return out.reshape(ncell, ntiles, tile)
 
 
 def _core_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, scale_ref, y_ref,
-                 iad_ref, out_ref, *, margin, group, tile_core):
+                 iad_ref, *rest, margin, group, tile_core, multispec):
     """One (cell, tile-group) grid step of the core pass: full
     Faddeeva over a [group*tile_core, lpad] pair block."""
+    if multispec:
+        oh_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     npts = group * tile_core
 
     def rep(rows):                     # [group, lpad] -> [npts, lpad]
@@ -225,15 +268,28 @@ def _core_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, scale_ref, y_ref,
     x = dwn * iad
     voigt = wofz_real(x, yy)
     contrib = jnp.where(jnp.abs(dwn) <= margin, voigt * scale, 0.0)
-    out_ref[0, 0, 0, :] = jnp.sum(contrib, axis=1)
+    if multispec:
+        # One-hot rows interleave (tile, species); the species split
+        # cannot be one matmul here because line windows differ per
+        # tile row -- select per species and lane-reduce (nsp small):
+        oh = oh_ref[0]                 # [group*nsp, lpad]
+        nsp = oh.shape[0] // group
+        oh = oh.reshape(group, nsp, oh.shape[-1])
+        parts = [
+            jnp.sum(contrib * rep(oh[:, s, :]), axis=1)
+            for s in range(nsp)
+        ]
+        out_ref[0, 0, 0, :] = jnp.concatenate(parts)
+    else:
+        out_ref[0, 0, 0, :] = jnp.sum(contrib, axis=1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=('margin', 'group', 'interpret'),
 )
-def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad, *,
-               margin, group=16, interpret=False):
+def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad,
+               spec_onehot=None, *, margin, group=16, interpret=False):
     """Batched core-pass cross section (full Faddeeva), summed over
     lines.
 
@@ -248,15 +304,20 @@ def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad, *,
     lwn_hi, lwn_lo: [ntiles, lmax] -- per-tile line windows.
     scale, y, inv_ad: [ncell, ntiles, lmax] -- per-cell line factors
         (scale = exp(logk - logkmax) * inv_ad / sqrt(pi)).
+    spec_onehot: [ntiles, nspec, lmax] static per-line species
+        one-hot, or None for single-species engines.
     margin: static core/wing split distance (cm-1).
 
     Returns
     -------
-    sigma [ncell, ntiles, tile_core].
+    sigma [ncell, ntiles, tile_core] (or with spec_onehot:
+        [ncell, nspec, ntiles, tile_core]).
     """
     ncell, ntiles, lmax = scale.shape
     tile_core = wn_hi.shape[1]
     dtype = scale.dtype
+    multispec = spec_onehot is not None
+    nsp = spec_onehot.shape[1] if multispec else 1
 
     lpad = _round_up(lmax, 128)
     ntpad = _round_up(ntiles, group)
@@ -272,6 +333,10 @@ def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad, *,
         scale = jnp.pad(scale, pad_c)
         y = jnp.pad(y, pad_c, constant_values=1.0)
         inv_ad = jnp.pad(inv_ad, pad_c)
+        if multispec:
+            spec_onehot = jnp.pad(
+                spec_onehot, ((0, 0), (0, 0), (0, pad_l)),
+            )
     if pad_t:
         # Padded tile rows replicate the last tile; the caller's
         # [:ntiles] slice drops their outputs.
@@ -283,6 +348,10 @@ def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad, *,
         scale = jnp.pad(scale, pad_c)
         y = jnp.pad(y, pad_c, constant_values=1.0)
         inv_ad = jnp.pad(inv_ad, pad_c)
+        if multispec:
+            spec_onehot = jnp.pad(
+                spec_onehot, ((0, pad_t), (0, 0), (0, 0)),
+            )
     ngroup = ntpad // group
     npts = group * tile_core
 
@@ -297,6 +366,7 @@ def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad, *,
     kernel = functools.partial(
         _core_kernel,
         margin=float(margin), group=group, tile_core=tile_core,
+        multispec=multispec,
     )
     wn_spec = pl.BlockSpec(
         (1, 1, npts), lambda b, g: (g, 0, 0), memory_space=pltpu.VMEM,
@@ -309,25 +379,46 @@ def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad, *,
         (1, 1, group, lpad), lambda b, g: (b, g, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    in_specs = [wn_spec, wn_spec, line_spec, line_spec,
+                cell_spec, cell_spec, cell_spec]
+    operands = [wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad]
+    if multispec:
+        # Interleave (tile, species) rows: [ngroup, group*nsp, lpad]:
+        oh = spec_onehot.astype(dtype).reshape(
+            ngroup, group * nsp, lpad,
+        )
+        in_specs.append(pl.BlockSpec(
+            (1, group * nsp, lpad), lambda b, g: (g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(oh)
     out = pl.pallas_call(
         kernel,
         grid=(ncell, ngroup),
-        in_specs=[wn_spec, wn_spec, line_spec, line_spec,
-                  cell_spec, cell_spec, cell_spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, 1, npts), lambda b, g: (b, g, 0, 0),
+            (1, 1, 1, nsp * npts), lambda b, g: (b, g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((ncell, ngroup, 1, npts), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (ncell, ngroup, 1, nsp * npts), dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=250 * ncell * ngroup * npts * lpad,
+            flops=(250 + 2 * nsp) * ncell * ngroup * npts * lpad,
             bytes_accessed=4 * (
-                2 * ngroup * npts + 2 * ngroup * group * lpad
+                2 * ngroup * npts + (2 + nsp) * ngroup * group * lpad
                 + 3 * ncell * ngroup * group * lpad
-                + ncell * ngroup * npts
+                + nsp * ncell * ngroup * npts
             ),
             transcendentals=2 * ncell * ngroup * npts * lpad,
         ),
-    )(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad)
+    )(*operands)
+    if multispec:
+        # [ncell, ngroup, nsp, group, tile_core] ->
+        # [ncell, nsp, ntiles, tile_core]:
+        out = out.reshape(ncell, ngroup, nsp, group, tile_core)
+        out = jnp.moveaxis(out, 2, 1).reshape(
+            ncell, nsp, ntpad, tile_core,
+        )
+        return out[:, :, :ntiles]
     return out.reshape(ncell, ntpad, tile_core)[:, :ntiles]

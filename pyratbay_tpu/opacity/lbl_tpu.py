@@ -216,6 +216,16 @@ class DirectLBL:
             self._tables['w_' + key] = val
         for key, val in core_pad.items():
             self._tables['c_' + key] = val
+        if self.nspec > 1:
+            # Static per-line species one-hots for the pallas kernels
+            # (padded fake lines carry scale 0, so their species row
+            # contributes nothing):
+            spec_ids = np.arange(self.nspec)
+            for pre in ('w_', 'c_'):
+                spec_w = self.iso_spec[self._tables[pre + 'iso']]
+                self._tables[pre + 'spec_oh'] = (
+                    spec_w[:, None, :] == spec_ids[None, :, None]
+                ).astype(np.float64)
         self._jit_cs = jax.jit(self._cross_section)
         self._device_tables = None
         self._sweep = None
@@ -403,7 +413,7 @@ class DirectLBL:
             return self.use_pallas
         if os.environ.get('PBT_LBL_PALLAS', '1') == '0':
             return False
-        return self.nspec == 1 and jax.default_backend() == 'tpu'
+        return jax.default_backend() == 'tpu'
 
     def _cross_section_batch(self, tables, temps, densities, iso_pfs):
         """sigma [ncell, nspec, nwave] over a batch of cells.
@@ -424,27 +434,30 @@ class DirectLBL:
         )(tables, temps, densities, iso_pfs)
         dtype = fac['c1_w'].dtype
         interpret = (mode == 'interpret')
+        multi = self.nspec > 1
+        oh_w = tables['w_spec_oh'].astype(dtype) if multi else None
+        oh_c = tables['c_spec_oh'].astype(dtype) if multi else None
         wing = wing_sigma(
             tables['wn_tiles_hi'].astype(dtype),
             tables['wn_tiles_lo'].astype(dtype),
             tables['w_lwn_hi'].astype(dtype),
             tables['w_lwn_lo'].astype(dtype),
-            fac['c1_w'], fac['y2_w'], fac['inv_ad_w'],
+            fac['c1_w'], fac['y2_w'], fac['inv_ad_w'], oh_w,
             margin=self.margin, cutoff=self.cutoff,
             interpret=interpret,
-        )   # [ncell, ntiles, tile]
+        )   # [ncell, (nspec,) ntiles, tile]
         ncell = wing.shape[0]
         core = core_sigma(
             tables['wn_core_hi'].astype(dtype),
             tables['wn_core_lo'].astype(dtype),
             tables['c_lwn_hi'].astype(dtype),
             tables['c_lwn_lo'].astype(dtype),
-            fac['scale_c'], fac['y_c'], fac['inv_ad_c'],
+            fac['scale_c'], fac['y_c'], fac['inv_ad_c'], oh_c,
             margin=self.margin, interpret=interpret,
-        )   # [ncell, ntiles_core, tile_core]
+        )   # [ncell, (nspec,) ntiles_core, tile_core]
         sigma = (
-            wing.reshape(ncell, 1, -1)[:, :, :self.nwave]
-            + core.reshape(ncell, 1, -1)[:, :, :self.nwave]
+            wing.reshape(ncell, self.nspec, -1)[:, :, :self.nwave]
+            + core.reshape(ncell, self.nspec, -1)[:, :, :self.nwave]
         )
         return sigma * fac['kmax'][:, None, None]
 

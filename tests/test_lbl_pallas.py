@@ -143,6 +143,34 @@ def test_tabulate_pallas_vs_xla(cell_inputs):
     assert rel[mask].max() < 1e-12
 
 
+def test_multispecies_pallas_vs_xla():
+    """nspec > 1 splits per species through the one-hot contraction."""
+    lines = _synthetic_lines(nlines=2000)
+    lines.iso_spec_index = np.array([0, 0, 1, 1])
+    lines.iso_atm_index = np.array([5, 5, 6, 6])
+    lines.nspec = 2
+    d_x = DirectLBL(lines, tile=128, use_pallas=False)
+    d_p = DirectLBL(lines, tile=128, use_pallas='interpret')
+    temps = np.array([800.0, 2400.0])
+    vmr = np.array(
+        [0.85, 0.149, 1e-6, 3e-6, 5e-8, 4e-4, 1e-4, 5e-4, 1e-7])
+    dens = vmr[None, :] * (
+        np.array([[1e4], [1e6]]) / (1.380649e-16 * temps[:, None])
+    )
+    pf = lines.iso_pf(temps).T
+    args = (jnp.asarray(temps), jnp.asarray(dens), jnp.asarray(pf))
+    sx = np.asarray(d_x._cross_section_batch(d_x.tables(), *args))
+    sp = np.asarray(d_p._cross_section_batch(d_p.tables(), *args))
+    assert sx.shape == sp.shape == (2, 2, d_x.nwave)
+    # The two species differ (different line subsets, different
+    # isotopic abundances):
+    diff = np.abs(sx[:, 0] - sx[:, 1]).max()
+    assert diff > 0.1 * np.abs(sx).max()
+    mask = np.abs(sx) > 1e-6 * np.abs(sx).max()
+    rel = np.abs(sp - sx) / (np.abs(sx) + 1e-300)
+    assert rel[mask].max() < 1e-12
+
+
 def test_pallas_mode_defaults():
     lines = _synthetic_lines(nlines=200)
     d = DirectLBL(lines)
