@@ -58,6 +58,18 @@ def _rate(fn, n_iter):
 
 def main():
     import jax
+    # Persistent compilation cache: tunnel compiles of the big vmapped
+    # programs take minutes; repeat bench runs should pay them once.
+    try:
+        jax.config.update(
+            'jax_compilation_cache_dir',
+            os.path.expanduser('~/.cache/jax_pbt'),
+        )
+        jax.config.update(
+            'jax_persistent_cache_min_compile_time_secs', 1.0,
+        )
+    except Exception:
+        pass
     import jax.numpy as jnp
     from pyratbay_tpu.benchmark import make_flagship, reference_c_baseline
 
