@@ -40,6 +40,15 @@ import time
 import numpy as np
 
 
+_T0 = time.perf_counter()
+
+
+def _stage(msg):
+    """Progress stamp on stderr (stdout carries only the JSON line)."""
+    print(f'[bench +{time.perf_counter() - _T0:7.1f}s] {msg}',
+          file=sys.stderr, flush=True)
+
+
 def _sync(x):
     """Force a real device->host sync (see module docstring)."""
     return np.asarray(x)
@@ -76,6 +85,7 @@ def main():
     batch = int(os.environ.get('PBT_BENCH_BATCH', 512))
     n_iter = int(os.environ.get('PBT_BENCH_ITER', 10))
 
+    _stage('flagship: build + compile')
     model, obs, ret, forward, p0 = make_flagship()
     nwave = model.nwave
     backend = jax.default_backend()
@@ -100,7 +110,9 @@ def main():
 
     elapsed = _rate(lambda: batched(params), n_iter)
     spectra_per_s = batch / elapsed
+    _stage('flagship: measured')
 
+    _stage('reference C baseline')
     # Reference C baseline (per host core x core count):
     try:
         base_core = reference_c_baseline(nwave, model.nlayers, n_eval=10)
@@ -119,17 +131,20 @@ def main():
     except Exception as exc:
         extras['flops_error'] = f'{type(exc).__name__}: {exc}'[:120]
     # Secondary: direct line-by-line sampling + tabulation throughput:
+    _stage('lbl rates')
     try:
         extras.update(_lbl_rates())
     except Exception as exc:
         extras['lbl_error'] = f'{type(exc).__name__}: {exc}'[:120]
     # Secondary: high-resolution forward model (R = 25,000):
+    _stage('highres rate')
     try:
         extras.update(_highres_rate())
     except Exception as exc:
         extras['highres_error'] = f'{type(exc).__name__}: {exc}'[:120]
     # Batch x grid throughput curve (single chip):
     if os.environ.get('PBT_BENCH_CURVES', '1') != '0':
+        _stage('throughput curve')
         try:
             extras['throughput_curve'] = _throughput_curve()
         except Exception as exc:
@@ -137,6 +152,7 @@ def main():
     # Wave-sharding scaling efficiency (CPU virtual devices, fixed
     # total work; see pyratbay_tpu/scaling_probe.py):
     if os.environ.get('PBT_BENCH_SCALING', '1') != '0':
+        _stage('scaling efficiency (CPU)')
         try:
             extras['scaling'] = _scaling_efficiency()
         except Exception as exc:
@@ -285,21 +301,30 @@ def _throughput_curve(n_iter=5):
     Grids: wnstep=1 (~3.2k), R=25k (~10.9k), R=115k (~50k points over
     1.1-1.7 um).  Combos whose vmapped intermediates exceed the HBM
     budget are skipped and listed in 'skipped' (no silent caps).
+
+    Every (grid, batch) point is a separate XLA program; on the
+    remote-compile tunnel each costs minutes the first time, so the
+    default sweep is one representative batch per grid (big batch on
+    the small grid, small batch on the big grid).  PBT_BENCH_CURVES=
+    full restores the 3x3 matrix.
     """
     import jax
     import jax.numpy as jnp
     from pyratbay_tpu.benchmark import make_flagship
 
+    full = os.environ.get('PBT_BENCH_CURVES') == 'full'
     grids = [
-        ('wnstep1', dict(wnstep=1.0)),
-        ('R25k', dict(wnstep=None, resolution=25000.0)),
-        ('R115k', dict(wnstep=None, resolution=115000.0)),
+        ('wnstep1', dict(wnstep=1.0), [64, 512, 4096] if full
+            else [4096]),
+        ('R25k', dict(wnstep=None, resolution=25000.0),
+            [64, 512, 4096] if full else [512]),
+        ('R115k', dict(wnstep=None, resolution=115000.0),
+            [64, 512, 4096] if full else [64]),
     ]
-    batches = [64, 512, 4096]
     hbm_budget = 10e9
     points = []
     skipped = []
-    for gname, gkw in grids:
+    for gname, gkw, batches in grids:
         model, obs, ret, forward, p0 = make_flagship(**gkw)
         batched = jax.jit(jax.vmap(lambda p: forward(p)['bandflux']))
         rng = np.random.default_rng(4)
