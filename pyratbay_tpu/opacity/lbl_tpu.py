@@ -229,6 +229,7 @@ class DirectLBL:
         self._jit_cs = jax.jit(self._cross_section)
         self._device_tables = None
         self._sweep = None
+        self._sweep_mode = None
 
     def _pad_line_windows(self, starts, lmax, log_kbase):
         """Static per-tile line windows [ntiles, lmax] (host)."""
@@ -588,13 +589,17 @@ class DirectLBL:
         d_all = dens.reshape(nblocks, block, -1).astype(np.float32)
         pf_all = pf.reshape(nblocks, block, -1).astype(np.float32)
 
-        if self._sweep is None:
+        # Keyed on the backend decision: toggling use_pallas after a
+        # first sweep must not reuse the stale jitted program.
+        mode = self._pallas_mode()
+        if self._sweep is None or self._sweep_mode != mode:
             self._sweep = jax.jit(
                 lambda tables, t, d, p: jax.lax.map(
                     lambda a: self._cross_section_batch(tables, *a),
                     (t, d, p),
                 ),
             )
+            self._sweep_mode = mode
         tables = self.tables()
 
         out_block_bytes = block * self.nspec * self.nwave * 4
