@@ -315,7 +315,7 @@ def _throughput_curve(n_iter=5):
     full = os.environ.get('PBT_BENCH_CURVES') == 'full'
     grids = [
         ('wnstep1', dict(wnstep=1.0), [64, 512, 4096] if full
-            else [4096]),
+            else [2048]),
         ('R25k', dict(wnstep=None, resolution=25000.0),
             [64, 512, 4096] if full else [512]),
         ('R115k', dict(wnstep=None, resolution=115000.0),
