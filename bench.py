@@ -142,6 +142,12 @@ def main():
         extras.update(_highres_rate())
     except Exception as exc:
         extras['highres_error'] = f'{type(exc).__name__}: {exc}'[:120]
+    # Secondary: radiative-equilibrium iteration rate (runmode=radeq):
+    _stage('radeq rate')
+    try:
+        extras.update(_radeq_rate())
+    except Exception as exc:
+        extras['radeq_error'] = f'{type(exc).__name__}: {exc}'[:120]
     # Batch x grid throughput curve (single chip):
     if os.environ.get('PBT_BENCH_CURVES', '1') != '0':
         _stage('throughput curve')
@@ -386,6 +392,33 @@ def _scaling_efficiency(device_counts=(1, 2, 4, 8), timeout=600):
             for k, v in results.items() if 'sec_per_batch' in v
         },
         'efficiency_vs_1dev': eff,
+    }
+
+
+def _radeq_rate(nsamples=30):
+    """Radiative-equilibrium iterations per second (runmode=radeq).
+
+    The loop is host-driven (adaptive wobble-damped dT, reference
+    semantics), so each iteration pays one tunnel round trip on top of
+    the jitted two-stream forward -- reported as wall-clock iteration
+    throughput, the quantity a radeq user experiences.
+    """
+    from pyratbay_tpu.benchmark import make_radeq
+    from pyratbay_tpu.spectrum.radeq import radiative_equilibrium
+
+    model = make_radeq()
+    # Warm-up: compiles the two-stream step and runs a few iterations.
+    radiative_equilibrium(model, nsamples=3)
+    start = time.perf_counter()
+    radiative_equilibrium(
+        model, nsamples=nsamples,
+        radeq_temps=model.radeq_temps, dt_scale=model._dt_scale,
+    )
+    dt = time.perf_counter() - start
+    return {
+        'radeq_iters_per_s': round(nsamples / dt, 2),
+        'radeq_nlayers': int(model.nlayers),
+        'radeq_nwave': int(model.nwave),
     }
 
 

@@ -175,6 +175,74 @@ retrieval_params =
     return model, obs, ret, forward, example_params
 
 
+def make_radeq(workdir=None, nlayers=40, wl_low=0.6, wl_high=12.0,
+               resolution=300.0):
+    """Self-contained radiative-equilibrium model (runmode=radeq).
+
+    Same synthetic opacity inputs as the flagship, but an
+    emission_two_stream geometry over a broad (bolometric) constant-R
+    grid -- the reference's radeq workload
+    (pyratbay/spectrum/radiative_transfer.py:141-274).
+    """
+    import tempfile
+
+    from .model import Model
+    from .io import io as pio
+
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix='pbt_radeq_')
+    os.makedirs(workdir, exist_ok=True)
+
+    press = np.logspace(-6, 2, nlayers)
+    species = ['H2', 'He', 'H', 'Na', 'K', 'H2O', 'CH4', 'CO', 'CO2']
+    vmr = np.tile(
+        [8.5e-1, 1.49e-1, 1e-6, 3e-6, 5e-8, 4e-4, 1e-4, 5e-4, 1e-7],
+        (nlayers, 1),
+    )
+    temp = np.full(nlayers, 1400.0)
+    atmfile = os.path.join(workdir, 'radeq.atm')
+    pio.write_atm(atmfile, press, temp, species, vmr, punits='bar')
+
+    from .ops.grids import wavenumber_grid
+    wn = np.asarray(wavenumber_grid(
+        wnlow=1.0 / (wl_high * 1e-4), wnhigh=1.0 / (wl_low * 1e-4),
+        resolution=resolution,
+    ).wn)
+    cs_file = os.path.join(workdir, 'radeq_h2o.npz')
+    _synthetic_cs_table(cs_file, wn, press)
+    cia_file = os.path.join(workdir, 'radeq_cia.dat')
+    _synthetic_cia_table(cia_file)
+
+    cfg_text = f"""[pyrat]
+runmode = radeq
+verb = -1
+logfile = {workdir}/radeq.log
+rt_path = emission_two_stream
+atmfile = {atmfile}
+sampled_cross_sec = {cs_file}
+continuum_cross_sec = {cia_file}
+wl_low = {wl_low} um
+wl_high = {wl_high} um
+resolution = {resolution}
+rstar = 1.27 rsun
+tstar = 5800.0
+smaxis = 0.045 au
+mplanet = 0.6 mjup
+rplanet = 1.0 rjup
+refpressure = 0.1 bar
+radmodel = hydro_m
+tmodel = guillot
+tpars = -4.67 -0.8 -0.8 0.5 1486.0 100.0
+bulk = H2 He
+tlow = 100
+thigh = 5900
+"""
+    cfg_file = os.path.join(workdir, 'radeq.cfg')
+    with open(cfg_file, 'w') as f:
+        f.write(cfg_text)
+    return Model(cfg_file)
+
+
 def reference_c_baseline(nwave, nlayers, n_eval=20):
     """Time the reference's C forward-model path on this host CPU.
 

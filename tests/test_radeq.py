@@ -49,3 +49,15 @@ def test_radeq_runs_and_reduces_imbalance(tmp_path):
         radeq_temps=model.radeq_temps, dt_scale=model._dt_scale,
     )
     assert temps2.shape == (46, model.nlayers)
+
+
+def test_make_radeq_self_contained(tmp_path):
+    """bench's radeq workload builds with zero external files and
+    iterates finitely."""
+    from pyratbay_tpu.benchmark import make_radeq
+
+    model = make_radeq(workdir=str(tmp_path))
+    assert 'two_stream' in model.rt_path
+    temps = radiative_equilibrium(model, nsamples=2)
+    assert temps.shape == (3, model.nlayers)
+    assert np.all(np.isfinite(temps)) and np.all(temps[-1] > 0)
