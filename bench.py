@@ -395,20 +395,20 @@ def _scaling_efficiency(device_counts=(1, 2, 4, 8), timeout=600):
     }
 
 
-def _radeq_rate(nsamples=30):
+def _radeq_rate(nsamples=250):
     """Radiative-equilibrium iterations per second (runmode=radeq).
 
-    The loop is host-driven (adaptive wobble-damped dT, reference
-    semantics), so each iteration pays one tunnel round trip on top of
-    the jitted two-stream forward -- reported as wall-clock iteration
-    throughput, the quantity a radeq user experiences.
+    The whole adaptive loop (wobble-damped dT, smoothing) runs as one
+    device lax.scan in 25-iteration chunks (spectrum/radeq.py), so the
+    rate is device-bound -- vs ~11 it/s when the reference-style loop
+    pays one tunnel round trip per iteration.
     """
     from pyratbay_tpu.benchmark import make_radeq
     from pyratbay_tpu.spectrum.radeq import radiative_equilibrium
 
     model = make_radeq()
-    # Warm-up: compiles the two-stream step and runs a few iterations.
-    radiative_equilibrium(model, nsamples=3)
+    # Warm-up: compiles the chunked scan (one 25-iteration program).
+    radiative_equilibrium(model, nsamples=25)
     start = time.perf_counter()
     radiative_equilibrium(
         model, nsamples=nsamples,

@@ -1,11 +1,24 @@
 """Radiative(-convective) equilibrium: iterate the two-stream fluxes to
 a steady temperature profile.
 
-Host-side adaptive loop (wobble-damped temperature updates + gaussian
-smoothing) around a jitted two-stream step -- the loop is inherently
-sequential and data-dependent, so it stays in numpy while each
-iteration's radiative transfer runs as one compiled device step
-(reference pyratbay/spectrum/radiative_transfer.py:141-274).
+Two execution paths around the same jitted two-stream step (reference
+pyratbay/spectrum/radiative_transfer.py:141-274):
+
+* **Device scan** (default for pure-radiative runs): the whole
+  adaptive loop -- wobble-damped temperature updates, scipy-exact
+  gaussian smoothing, clipping -- runs as one `lax.scan` on device.
+  The reference pays a full host round trip per iteration (chemcat +
+  numpy update); on a remote-TPU tunnel that costs ~30 ms/iteration,
+  so the scan is the difference between ~11 and hundreds of
+  iterations per second.
+* **Host loop** (convective runs): the convective-flux redo is
+  data-dependent control flow, so it stays in numpy around the jitted
+  step.
+
+Both paths implement identical arithmetic (including the reference's
+warm-restart quirk where the sign history restarts as zeros and
+triggers a wobble halving); tests pin scan == host at float64
+round-off and the trajectory against the live reference.
 """
 import numpy as np
 from scipy.ndimage import gaussian_filter1d
@@ -18,9 +31,30 @@ __all__ = ['radiative_equilibrium']
 _MAXF = 1.0e8  # maximum temperature scale factor
 
 
+def _gauss_kernel_scipy(sigma, radius, xp):
+    """Gaussian kernel weights over [-radius, radius], truncated and
+    normalized exactly as scipy.ndimage.gaussian_filter1d with
+    truncate=4.0: support floor(4*sigma + 0.5), zero beyond."""
+    x = xp.arange(-radius, radius + 1)
+    w = xp.exp(-0.5 * (x / sigma) ** 2)
+    w = xp.where(xp.abs(x) <= xp.floor(4.0 * sigma + 0.5), w, 0.0)
+    return w / xp.sum(w)
+
+
+def _gauss_filter_reflect(y, sigma, radius, xp):
+    """scipy gaussian_filter1d (mode='reflect') with a static support
+    radius and a possibly-traced sigma."""
+    w = _gauss_kernel_scipy(sigma, radius, xp)
+    ypad = xp.concatenate([y[radius - 1::-1], y, y[:-radius - 1:-1]])
+    if xp is np:
+        return np.convolve(ypad, w, mode='valid')
+    import jax.numpy as jnp
+    return jnp.convolve(ypad, w, mode='valid')
+
+
 def radiative_equilibrium(
         model, nsamples=100, convection=False, tmin=0.0, tmax=6000.0,
-        radeq_temps=None, dt_scale=None,
+        radeq_temps=None, dt_scale=None, use_scan=None,
     ):
     """Iterate toward radiative equilibrium.
 
@@ -31,6 +65,8 @@ def radiative_equilibrium(
     convection: include mixing-length convective-flux transport.
     radeq_temps/dt_scale: warm-restart state from a previous call
         (reference continue_run semantics, pyrat_obj.py:604-611).
+    use_scan: run the whole loop as one device lax.scan (default: yes
+        unless convection is requested -- see module docstring).
 
     Returns
     -------
@@ -86,6 +122,86 @@ def radiative_equilibrium(
 
     dpress = np.ediff1d(np.log(press), to_begin=1.0)
     dpress[0] = dpress[1]
+
+    if use_scan is None:
+        use_scan = not convection
+    if use_scan and convection:
+        raise ValueError(
+            'use_scan=True does not support convection (the '
+            'convective-flux redo is data-dependent control flow)'
+        )
+
+    if use_scan:
+        dpress_j = jnp.asarray(dpress)
+        # Sign-history buffer: most recent 4 flux-difference signs.
+        # The reference recreates df_sign as zeros on every call, so a
+        # warm restart begins with up to 4 VALID zero rows (which count
+        # as wobble against any nonzero sign) -- reproduced here:
+        n_valid0 = min(n_prev - 1, 4)
+        valid0 = jnp.arange(4) >= (4 - n_valid0)
+        buf0 = jnp.zeros((4, nlayers))
+        # One compiled program serves any nsamples: scan in fixed-size
+        # chunks (the scan length is baked into the XLA program; the
+        # sign history threads through the carry across chunks):
+        chunk = min(nsamples, 25)
+
+        def scan_body(carry, _):
+            temp, scale, buf, valid = carry
+            flux_up, flux_down = _step(temp)
+            wn_j = jnp.asarray(wn)
+            q_net = (
+                jnp.trapezoid(flux_up, wn_j, axis=1)
+                - jnp.trapezoid(flux_down, wn_j, axis=1)
+            )
+            diff_flux = jnp.concatenate(
+                [jnp.zeros(1), jnp.diff(q_net)])
+            sign_k = jnp.sign(diff_flux)
+            wobble = jnp.any(
+                valid[:, None] & (buf != sign_k[None, :]), axis=0,
+            )
+            scale = jnp.where(wobble, scale * 0.5, scale * 1.15)
+            scale = _gauss_filter_reflect(
+                jnp.clip(scale, 1.0, _MAXF), 1.5, 6, jnp,
+            )
+            dt = (
+                scale * sign_k * jnp.abs(diff_flux) ** 0.1
+                / (pc.sigma_sb * temp ** 3 * dpress_j)
+            )
+            t1 = temp + dt
+            t1 = t1.at[0].set(t1[1])
+            sigma = jnp.clip(jnp.mean(jnp.abs(dt)) / 10.0, 0.75, 2.0)
+            smoothed = _gauss_filter_reflect(t1, sigma, 8, jnp)
+            t1 = jnp.concatenate([smoothed[:-1], t1[-1:]])
+            t1 = jnp.clip(t1, tmin, tmax)
+            buf = jnp.concatenate([buf[1:], sign_k[None, :]])
+            valid = jnp.concatenate(
+                [valid[1:], jnp.ones(1, bool)])
+            return (t1, scale, buf, valid), t1
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames='length')
+        def run_scan(carry0, length):
+            return jax.lax.scan(scan_body, carry0, None, length=length)
+
+        carry = (
+            jnp.asarray(temps[n_prev - 1]), jnp.asarray(dt_scale),
+            buf0, valid0,
+        )
+        chunks = []
+        done = 0
+        while done < nsamples:
+            length = min(chunk, nsamples - done)
+            carry, ts = run_scan(carry, length)
+            chunks.append(ts)
+            done += length
+        temps[n_prev:] = np.concatenate(
+            [np.asarray(c) for c in chunks], axis=0,
+        )
+        model.radeq_temps = temps
+        model._dt_scale = np.asarray(carry[1])
+        return temps
+
     df_sign = np.zeros((n_prev + nsamples, nlayers))
 
     def _update(k, diff_flux, scale):

@@ -61,3 +61,33 @@ def test_make_radeq_self_contained(tmp_path):
     temps = radiative_equilibrium(model, nsamples=2)
     assert temps.shape == (3, model.nlayers)
     assert np.all(np.isfinite(temps)) and np.all(temps[-1] > 0)
+
+
+def test_radeq_scan_matches_host_loop(tmp_path):
+    """The device lax.scan path reproduces the host numpy loop at
+    float64 round-off, including warm-restart sign-history behavior."""
+    from pyratbay_tpu.benchmark import make_radeq
+
+    model = make_radeq(workdir=str(tmp_path), nlayers=30)
+    t_scan = np.array(radiative_equilibrium(
+        model, nsamples=12, use_scan=True))
+    scale_scan = np.array(model._dt_scale)
+
+    model2 = make_radeq(workdir=str(tmp_path / 'h'), nlayers=30)
+    t_host = np.array(radiative_equilibrium(
+        model2, nsamples=12, use_scan=False))
+    scale_host = np.array(model2._dt_scale)
+
+    np.testing.assert_allclose(t_scan, t_host, rtol=1e-9, atol=1e-7)
+    np.testing.assert_allclose(
+        scale_scan, scale_host, rtol=1e-9,
+    )
+
+    # Warm restart: both paths continue identically from saved state.
+    t_scan2 = np.array(radiative_equilibrium(
+        model, nsamples=4, use_scan=True,
+        radeq_temps=model.radeq_temps, dt_scale=model._dt_scale))
+    t_host2 = np.array(radiative_equilibrium(
+        model2, nsamples=4, use_scan=False,
+        radeq_temps=model2.radeq_temps, dt_scale=model2._dt_scale))
+    np.testing.assert_allclose(t_scan2, t_host2, rtol=1e-9, atol=1e-7)
