@@ -33,9 +33,11 @@ The (hi, lo) float-pair trick for dnu = nu - nu0 is the same as the
 XLA path (lbl_tpu.py docstring): both arrays ship as f32 splits so the
 difference keeps ~1e-7 cm-1 precision without float64.
 
-Only the nspec == 1 case is handled (one species per engine -- the
-overwhelmingly common layout; multi-species engines fall back to the
-XLA path in lbl_tpu.py).
+Multi-species engines are handled natively: each kernel receives a
+static per-line species one-hot and splits the accumulation per
+species (an MXU contraction in the wing pass; see wing_sigma /
+core_sigma).  Parity with the XLA path is pinned by
+tests/test_lbl_pallas.py for both layouts.
 
 Reference workload: pyratbay's extinction-coefficient sampler
 (src_c/_extcoeff.c:87-345); this kernel is the TPU replacement for its
@@ -127,9 +129,9 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad,
     lwn_hi, lwn_lo: [ntiles, lmax] f32 -- per-tile line windows.
     c1, y2, inv_ad: [ncell, ntiles, lmax] f32 -- per-cell line factors
         (c1 = y * scale / sqrt(pi), y2 = y^2; see lbl_tpu._wing_tile).
-    spec_onehot: [ntiles, nspec_pad, lmax] static one-hot of each
-        line's species (nspec_pad a multiple of 8), or None for
-        single-species engines.
+    spec_onehot: [ntiles, nspec, lmax] static one-hot of each line's
+        species (raw nspec; Mosaic pads the sublane dim internally),
+        or None for single-species engines.
     margin, cutoff: static core/wing split and wing cutoff (cm-1).
     lchunk: lines per inner grid step (VMEM blocking).  The default
         covers typical windows in ONE chunk per tile: the j-loop's

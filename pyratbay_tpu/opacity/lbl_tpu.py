@@ -105,11 +105,13 @@ class DirectLBL:
             tmax_bound).
         tmax_bound: temperature bound for the static margin (default:
             1.5x the lbl tmax, or 6000 K).
-        use_pallas: wing-pass backend for the batched cross section:
+        use_pallas: backend for the batched cross section:
             True/False force, 'interpret' runs the pallas interpreter
-            (CPU tests), None auto-enables on TPU for single-species
-            engines (see opacity/lbl_pallas.py).  PBT_LBL_PALLAS=0
-            disables the auto path.
+            (CPU tests), None auto-enables on TPU (single- and
+            multi-species engines; see opacity/lbl_pallas.py).
+            PBT_LBL_PALLAS=0 disables the auto path.  Wave-sharded
+            engines (parallel/sharded.py) always use the XLA path
+            regardless of this setting.
         """
         self.lbl = lbl
         self.use_pallas = use_pallas
@@ -227,6 +229,7 @@ class DirectLBL:
                     spec_w[:, None, :] == spec_ids[None, :, None]
                 ).astype(np.float64)
         self._jit_cs = jax.jit(self._cross_section)
+        self._sharded_wave = False
         self._device_tables = None
         self._sweep = None
         self._sweep_mode = None
@@ -403,25 +406,38 @@ class DirectLBL:
     def _pallas_mode(self):
         """Static pass-backend decision (trace-time Python).
 
-        Default: pallas kernels on TPU for single-species engines --
-        runtime parity with the XLA lowering at equal accuracy
-        (tests/test_lbl_pallas.py) but ~50x faster to compile (4.6 s
-        vs 259 s for the 50k-line probe on the v5e tunnel).
-        PBT_LBL_PALLAS=0 disables; multi-species engines and CPU use
-        the XLA path."""
+        Default: pallas kernels on TPU (any nspec) -- runtime parity
+        with the XLA lowering at equal accuracy
+        (tests/test_lbl_pallas.py pins both layouts) but ~50x faster
+        to compile (4.6 s vs 259 s for the 50k-line probe on the v5e
+        tunnel).  PBT_LBL_PALLAS=0 disables; CPU uses the XLA path.
+
+        Wave-sharded engines force the XLA path (GSPMD cannot
+        partition the opaque pallas_call along the sharded tile axis);
+        the user's use_pallas setting is preserved and applies again
+        after unshard()."""
         import os
+        if getattr(self, '_sharded_wave', False):
+            return False
         if self.use_pallas is not None:
             return self.use_pallas
         if os.environ.get('PBT_LBL_PALLAS', '1') == '0':
             return False
         return jax.default_backend() == 'tpu'
 
+    def unshard(self):
+        """Drop wave-sharded device tables (parallel/sharded.py) and
+        return to the single-device backend decision."""
+        self._sharded_wave = False
+        self._device_tables = None
+
     def _cross_section_batch(self, tables, temps, densities, iso_pfs):
         """sigma [ncell, nspec, nwave] over a batch of cells.
 
-        On TPU (nspec == 1) the wing pass runs as a pallas kernel over
-        the (cell, tile, line-chunk) grid (opacity/lbl_pallas.py); the
-        core pass (few pairs, Faddeeva-heavy) stays on the XLA path.
+        On TPU both passes run as pallas kernels over the
+        (cell, tile[, line-chunk]) grid (opacity/lbl_pallas.py), for
+        single- and multi-species engines alike; CPU and wave-sharded
+        engines use the XLA lowering (_cross_section).
         """
         mode = self._pallas_mode()
         if not mode:

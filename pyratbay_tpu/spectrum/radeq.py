@@ -43,13 +43,103 @@ def _gauss_kernel_scipy(sigma, radius, xp):
 
 def _gauss_filter_reflect(y, sigma, radius, xp):
     """scipy gaussian_filter1d (mode='reflect') with a static support
-    radius and a possibly-traced sigma."""
+    radius and a possibly-traced sigma.  Requires len(y) > radius (the
+    edge reflection only covers one mirror period)."""
+    if y.shape[0] <= radius:
+        raise ValueError(
+            f'gaussian smoothing needs more than {radius} layers '
+            f'(got {y.shape[0]}); use use_scan=False for very small '
+            'layer grids'
+        )
     w = _gauss_kernel_scipy(sigma, radius, xp)
     ypad = xp.concatenate([y[radius - 1::-1], y, y[:-radius - 1:-1]])
     if xp is np:
         return np.convolve(ypad, w, mode='valid')
     import jax.numpy as jnp
     return jnp.convolve(ypad, w, mode='valid')
+
+
+def _radeq_scan_runner(model):
+    """The jitted chunked-scan runner for this model, compiled once and
+    cached on the model instance (a fresh jax.jit wrapper per call would
+    re-trace the full RT program every time; library users without the
+    persistent compilation cache would pay seconds per warm restart).
+
+    Everything that can change between calls (temperatures, scale
+    state, opacity/VMR parameters, grids, tmin/tmax) is a traced
+    argument; only the model's *structure* (which opacity models and
+    RT path exist) is baked in, and that is fixed per instance.
+    """
+    runner = getattr(model, '_radeq_scan_cache', None)
+    if runner is not None:
+        return runner
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from ..atmosphere import hydro
+
+    @partial(jax.jit, static_argnames='length')
+    def run_scan(carry0, consts, length):
+        (press, wn_j, dpress_j, base_vmr, mol_mass, pars_list,
+         vmr_pars, tmin, tmax, fpatchy) = consts
+
+        def step(temp):
+            # Equilibrium chemistry re-solves composition at the
+            # current T(p) every iteration, inside the same jitted
+            # step (reference host-calls chemcat per iteration,
+            # spectrum/radiative_transfer.py:202):
+            if model.chem_model is not None:
+                vmr_k = model._eval_vmr_pure(vmr_pars, temp)
+            else:
+                vmr_k = base_vmr
+            dens = hydro.ideal_gas_density(vmr_k, press, temp)
+            mm = hydro.mean_weight(vmr_k, mol_mass)
+            radius = model.eval_radius(temp, mm)
+            ec, ec_cloud, deck_surface = model.extinction(
+                temp, radius, dens, pars_list,
+            )
+            result = model._run_emission(
+                ec, ec_cloud, deck_surface, temp, radius, 0, fpatchy,
+            )
+            return result['flux_up'], result['flux_down']
+
+        def scan_body(carry, _):
+            temp, scale, buf, valid = carry
+            flux_up, flux_down = step(temp)
+            q_net = (
+                jnp.trapezoid(flux_up, wn_j, axis=1)
+                - jnp.trapezoid(flux_down, wn_j, axis=1)
+            )
+            diff_flux = jnp.concatenate(
+                [jnp.zeros(1), jnp.diff(q_net)])
+            sign_k = jnp.sign(diff_flux)
+            wobble = jnp.any(
+                valid[:, None] & (buf != sign_k[None, :]), axis=0,
+            )
+            scale = jnp.where(wobble, scale * 0.5, scale * 1.15)
+            scale = _gauss_filter_reflect(
+                jnp.clip(scale, 1.0, _MAXF), 1.5, 6, jnp,
+            )
+            dt = (
+                scale * sign_k * jnp.abs(diff_flux) ** 0.1
+                / (pc.sigma_sb * temp ** 3 * dpress_j)
+            )
+            t1 = temp + dt
+            t1 = t1.at[0].set(t1[1])
+            sigma = jnp.clip(jnp.mean(jnp.abs(dt)) / 10.0, 0.75, 2.0)
+            smoothed = _gauss_filter_reflect(t1, sigma, 8, jnp)
+            t1 = jnp.concatenate([smoothed[:-1], t1[-1:]])
+            t1 = jnp.clip(t1, tmin, tmax)
+            buf = jnp.concatenate([buf[1:], sign_k[None, :]])
+            valid = jnp.concatenate(
+                [valid[1:], jnp.ones(1, bool)])
+            return (t1, scale, buf, valid), t1
+
+        return jax.lax.scan(scan_body, carry0, None, length=length)
+
+    model._radeq_scan_cache = run_scan
+    return run_scan
 
 
 def radiative_equilibrium(
@@ -98,41 +188,58 @@ def radiative_equilibrium(
         # (pyrat_obj.py:604-605):
         dt_scale = np.tile(1.0e5, nlayers)
 
-    def _step(temp):
-        # Equilibrium chemistry re-solves composition at the current
-        # T(p) every iteration, inside the same jitted step (reference
-        # host-calls chemcat per iteration,
-        # spectrum/radiative_transfer.py:202):
-        if model.chem_model is not None:
-            vmr_k = model._eval_vmr_pure(model.vmr_pars, temp)
-        else:
-            vmr_k = jnp.asarray(vmr)
-        dens = hydro.ideal_gas_density(vmr_k, press, temp)
-        mm = hydro.mean_weight(vmr_k, mol_mass)
-        radius = model.eval_radius(temp, mm)
-        ec, ec_cloud, deck_surface = model.extinction(
-            temp, radius, dens, model.model_pars(),
-        )
-        result = model._run_emission(
-            ec, ec_cloud, deck_surface, temp, radius, 0, model.fpatchy,
-        )
-        return result['flux_up'], result['flux_down']
+    # Host-loop two-stream step, compiled once per model (same caching
+    # rationale as _radeq_scan_runner):
+    step_jit = getattr(model, '_radeq_step_cache', None)
+    if step_jit is None:
+        def _step(temp, press_j, base_vmr, mol_mass_j, pars_list,
+                  vmr_pars, fpatchy):
+            # Equilibrium chemistry re-solves composition at the
+            # current T(p) every iteration, inside the same jitted
+            # step (reference host-calls chemcat per iteration,
+            # spectrum/radiative_transfer.py:202):
+            if model.chem_model is not None:
+                vmr_k = model._eval_vmr_pure(vmr_pars, temp)
+            else:
+                vmr_k = base_vmr
+            dens = hydro.ideal_gas_density(vmr_k, press_j, temp)
+            mm = hydro.mean_weight(vmr_k, mol_mass_j)
+            radius = model.eval_radius(temp, mm)
+            ec, ec_cloud, deck_surface = model.extinction(
+                temp, radius, dens, pars_list,
+            )
+            result = model._run_emission(
+                ec, ec_cloud, deck_surface, temp, radius, 0, fpatchy,
+            )
+            return result['flux_up'], result['flux_down']
 
-    step = jax.jit(_step)
+        step_jit = jax.jit(_step)
+        model._radeq_step_cache = step_jit
+
+    def step(temp):
+        return step_jit(
+            temp, jnp.asarray(press), jnp.asarray(vmr),
+            jnp.asarray(mol_mass), model.model_pars(), model.vmr_pars,
+            model.fpatchy,
+        )
 
     dpress = np.ediff1d(np.log(press), to_begin=1.0)
     dpress[0] = dpress[1]
 
     if use_scan is None:
-        use_scan = not convection
+        use_scan = (not convection) and nlayers > 8
     if use_scan and convection:
         raise ValueError(
             'use_scan=True does not support convection (the '
             'convective-flux redo is data-dependent control flow)'
         )
+    if use_scan and nlayers <= 8:
+        raise ValueError(
+            'use_scan=True requires more than 8 layers (the gaussian '
+            'smoothing support); use use_scan=False'
+        )
 
     if use_scan:
-        dpress_j = jnp.asarray(dpress)
         # Sign-history buffer: most recent 4 flux-difference signs.
         # The reference recreates df_sign as zeros on every call, so a
         # warm restart begins with up to 4 VALID zero rows (which count
@@ -145,45 +252,14 @@ def radiative_equilibrium(
         # sign history threads through the carry across chunks):
         chunk = min(nsamples, 25)
 
-        def scan_body(carry, _):
-            temp, scale, buf, valid = carry
-            flux_up, flux_down = _step(temp)
-            wn_j = jnp.asarray(wn)
-            q_net = (
-                jnp.trapezoid(flux_up, wn_j, axis=1)
-                - jnp.trapezoid(flux_down, wn_j, axis=1)
-            )
-            diff_flux = jnp.concatenate(
-                [jnp.zeros(1), jnp.diff(q_net)])
-            sign_k = jnp.sign(diff_flux)
-            wobble = jnp.any(
-                valid[:, None] & (buf != sign_k[None, :]), axis=0,
-            )
-            scale = jnp.where(wobble, scale * 0.5, scale * 1.15)
-            scale = _gauss_filter_reflect(
-                jnp.clip(scale, 1.0, _MAXF), 1.5, 6, jnp,
-            )
-            dt = (
-                scale * sign_k * jnp.abs(diff_flux) ** 0.1
-                / (pc.sigma_sb * temp ** 3 * dpress_j)
-            )
-            t1 = temp + dt
-            t1 = t1.at[0].set(t1[1])
-            sigma = jnp.clip(jnp.mean(jnp.abs(dt)) / 10.0, 0.75, 2.0)
-            smoothed = _gauss_filter_reflect(t1, sigma, 8, jnp)
-            t1 = jnp.concatenate([smoothed[:-1], t1[-1:]])
-            t1 = jnp.clip(t1, tmin, tmax)
-            buf = jnp.concatenate([buf[1:], sign_k[None, :]])
-            valid = jnp.concatenate(
-                [valid[1:], jnp.ones(1, bool)])
-            return (t1, scale, buf, valid), t1
-
-        from functools import partial
-
-        @partial(jax.jit, static_argnames='length')
-        def run_scan(carry0, length):
-            return jax.lax.scan(scan_body, carry0, None, length=length)
-
+        run_scan = _radeq_scan_runner(model)
+        consts = (
+            jnp.asarray(press), jnp.asarray(wn), jnp.asarray(dpress),
+            jnp.asarray(vmr), jnp.asarray(mol_mass),
+            model.model_pars(), model.vmr_pars,
+            jnp.asarray(float(tmin)), jnp.asarray(float(tmax)),
+            model.fpatchy,
+        )
         carry = (
             jnp.asarray(temps[n_prev - 1]), jnp.asarray(dt_scale),
             buf0, valid0,
@@ -192,7 +268,7 @@ def radiative_equilibrium(
         done = 0
         while done < nsamples:
             length = min(chunk, nsamples - done)
-            carry, ts = run_scan(carry, length)
+            carry, ts = run_scan(carry, consts, length)
             chunks.append(ts)
             done += length
         temps[n_prev:] = np.concatenate(
