@@ -81,9 +81,14 @@ class VanderWaals:
         abs_dwn = jnp.abs(dwn)
         strength = pc.C3_KERNEL * gf[:, :, None] / self.part_func
 
+        # (dnu/dsigma)^-1.5 via sqrt instead of pow: pow lowers to
+        # exp(log()) on the VPU and this [lay, line, wave] block is the
+        # forward model's transcendental hot spot; t*sqrt(t) with
+        # t = dsigma/dnu is exact for the 3/2 exponent:
+        t_ratio = dsigma[:, :, None] / abs_dwn
         wing = (
             voigt_det[:, :, None]
-            * (abs_dwn / dsigma[:, :, None]) ** -1.5
+            * (t_ratio * jnp.sqrt(t_ratio))
             * strength
             * jnp.exp(
                 -pc.C2_KERNEL * (abs_dwn - dsigma[:, :, None])

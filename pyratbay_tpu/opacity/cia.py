@@ -102,15 +102,35 @@ class CIA:
 
         Evaluated in amagat-normalized units so every intermediate is
         O(1)-ranged and float32-safe.
+
+        The T-lerp and the density product collapse into ONE matmul
+        against the table: ec = (w_t * dens_prod).T @ table, where w_t
+        holds the two-hot lerp weights per layer.  The forward model is
+        HBM-bandwidth-bound, so the fewer [nlayers, nwave] buffers the
+        better: this writes exactly one (the output), vs the
+        base+slope+lerp+mask+product chain of the generic
+        lin_interp_trow path (round-3 profiling: 5.5 -> ~1 MB/forward).
         """
         temp = jnp.clip(jnp.asarray(temperature), self.tmin, self.tmax)
         scalar = temp.ndim == 0
-        cs_amagat = lin_interp_trow(
-            self.tab_cs_amagat, self.temps, self._dcs_dt_amagat,
-            jnp.atleast_1d(temp), self._wn_lo, self._wn_hi,
+        temp = jnp.atleast_1d(temp)
+        temps = jnp.asarray(self.temps)
+        tlo = jnp.clip(
+            jnp.searchsorted(temps, temp, side='right') - 1,
+            0, self.ntemp - 2,
         )
+        w_hi = (temp - temps[tlo]) / (temps[tlo + 1] - temps[tlo])
+        t_idx = jnp.arange(self.ntemp)[:, None]
+        w_t = (
+            (t_idx == tlo[None, :]) * (1.0 - w_hi)[None, :]
+            + (t_idx == tlo[None, :] + 1) * w_hi[None, :]
+        )                                              # [ntemp, nlayers]
         dens_amagat = jnp.atleast_2d(jnp.asarray(densities)) / pc.amagat
-        ec = cs_amagat * jnp.prod(dens_amagat, axis=1, keepdims=True)
+        dens_prod = jnp.prod(dens_amagat, axis=1)      # [nlayers]
+        # Table columns outside the tabulated wavenumber span are
+        # exactly zero (splinterp extrap=0 at setup), so no runtime
+        # range mask is needed:
+        ec = (w_t * dens_prod[None, :]).T @ jnp.asarray(self.tab_cs_amagat)
         return ec[0] if scalar else ec
 
     def __str__(self):

@@ -284,12 +284,27 @@ class LineSample:
         (weighted by the isotope abundance ratios), summed over species.
         pars: free isotope-ratio parameters (log10), jit-safe.
         """
-        cs = self.cross_section(temperature, per_mol=True)   # [s, l, w]
-        weights = self._jit_ratios(pars)
-        ec = cs * (jnp.asarray(density).T * weights[:, None])[:, :, None]
         if per_mol:
-            return ec
-        return jnp.sum(ec, axis=0)
+            cs = self.cross_section(temperature, per_mol=True)  # [s, l, w]
+            weights = self._jit_ratios(pars)
+            return cs * (
+                jnp.asarray(density).T * weights[:, None]
+            )[:, :, None]
+        # Hot path (summed): fold the density/ratio weights into the
+        # T-lerp contraction so the species sum, the lerp, and the
+        # density product come out of ONE einsum -- no [s, l, w]
+        # intermediates (the forward model is HBM-bandwidth-bound):
+        tlo, w_hi = self._t_weights(temperature)
+        table = jnp.asarray(self.cs_table)          # [s, t, l, w]
+        t_idx = jnp.arange(self.ntemp)[:, None]     # [t, 1]
+        w_t = (
+            (t_idx == tlo[None, :]) * (1.0 - w_hi)[None, :]
+            + (t_idx == tlo[None, :] + 1) * w_hi[None, :]
+        )                                           # [t, l]
+        weights = self._jit_ratios(pars)            # [s]
+        d_w = jnp.asarray(density).T * weights[:, None]   # [s, l]
+        w_stl = w_t[None, :, :] * d_w[:, None, :]   # [s, t, l] (tiny)
+        return jnp.einsum('stl,stlw->lw', w_stl, table)
 
     def __str__(self):
         from ..tools import Formatted_Write

@@ -55,9 +55,15 @@ def transit_depth(ec, path, maxdepth=np.inf, itop=0, ibottom=None):
     if ibottom is None:
         ibottom = nlayers
     # tau(r) = sum_i path[r,i] * (ec[i] + ec[i+1])  -- the "2x chord"
-    # convention folds the usual 1/2 trapezoid factor.
-    ec_mid = ec[:-1] + ec[1:]
-    depth = path @ ec_mid
+    # convention folds the usual 1/2 trapezoid factor.  The pair sum is
+    # folded into the (tiny) chord matrix instead of materializing an
+    # [nlayers-1, nwave] ec_mid buffer: the forward is HBM-bound, and
+    # path2[r, j] = path[r, j-1] + path[r, j] gives the identical
+    # contraction from ec directly.
+    path2 = (
+        jnp.pad(path, ((0, 0), (1, 0))) + jnp.pad(path, ((0, 0), (0, 1)))
+    )
+    depth = path2 @ ec
 
     rows = jnp.arange(nlayers)
     in_range = (rows >= itop) & (rows < ibottom)
