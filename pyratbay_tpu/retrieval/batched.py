@@ -1,0 +1,368 @@
+"""Natively-batched ensemble forward: the retrieval/benchmark hot path.
+
+`jax.vmap(build_forward(...))` is correct but leaves throughput on the
+table: vmapping the per-chain table contractions turns them into
+batched dots whose XLA layouts are batch-minor, forcing full-size
+layout copies of every [nlayers, nwave] opacity contribution before
+the (row-major) fused RT kernel -- round-4 profiling measured three
+335 MB copies per 512-chain batch, ~25% of the forward's wall time.
+
+This builder assembles the ensemble explicitly instead:
+
+* the parameter mapping + atmospheric state (small arrays) reuse the
+  per-chain `forward.state` under vmap;
+* the line-sample and CIA temperature interpolations become plain
+  (un-batched) einsums over the whole ensemble -- '(B l), t' free dims
+  flatten into one matmul with standard-layout outputs;
+* elementwise sources (alkali, Rayleigh, clouds, H-) vmap as before
+  (elementwise fusions are layout-flexible);
+* the RT runs through the fused pallas kernel (spectrum/rt_pallas.py)
+  under vmap, and band integration is one [B, W] x [W, nbands] matmul.
+
+Falls back to plain vmap for configurations it does not cover
+(emission/eclipse paths, live-LBL opacities, high-res channels).
+Reference workload: chain-parallel MCMC over pyrat.eval
+(pyratbay/pyrat/pyrat_obj.py:225-385, 452-464).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as pc
+from ..atmosphere import geometry, vmr as vmr_models
+from ..spectrum import rt
+from .forward import build_forward
+
+__all__ = ['build_forward_batched', 'build_log_posterior_batched']
+
+
+def _supported(model, obs):
+    if model.rt_path not in pc.TRANSMISSION_RT:
+        return False
+    if obs is not None and getattr(obs, 'wn_hires', None) is not None:
+        return False
+    for mtype, _, _ in model.opacity_models:
+        if mtype not in ('line_sample', 'cia', 'alkali', 'rayleigh',
+                         'cloud', 'h_ion'):
+            return False
+    return True
+
+
+def _two_hot(tlo, w_hi, ntemp):
+    """[B, l] lerp indices/weights -> [B, ntemp, l] two-hot weights."""
+    t_idx = jnp.arange(ntemp)[None, :, None]
+    return (
+        (t_idx == tlo[:, None, :]) * (1.0 - w_hi)[:, None, :]
+        + (t_idx == tlo[:, None, :] + 1) * w_hi[:, None, :]
+    )
+
+
+def build_forward_batched(model, obs=None, ret=None):
+    """Build forward_b(params [B, npars]) -> dict of batched outputs
+    (spectrum [B, nwave], bandflux [B, nbands], good [B], temperature).
+
+    Semantics match jax.vmap(build_forward(model, obs, ret)) -- pinned
+    by tests/test_batched.py -- with the hot path restructured for
+    layout-copy-free ensemble execution.
+    """
+    forward = build_forward(model, obs, ret)
+    if not _supported(model, obs):
+        def fallback(params_b):
+            return jax.vmap(forward)(params_b)
+        fallback.is_fallback = True
+        return fallback
+
+    state = forward.state
+    nlayers = model.nlayers
+    nwave = model.nwave
+    rt_fused = None  # resolved at trace time (backend-dependent)
+
+    tmin_bound = max([model.tmin[k] for k in model.tmin], default=-np.inf)
+    tmax_bound = min([model.tmax[k] for k in model.tmax], default=np.inf)
+    if ret is not None:
+        tmin_bound = max(tmin_bound, ret.tlow)
+        tmax_bound = min(tmax_bound, ret.thigh)
+    qcap = ret.qcap if ret is not None else None
+    rscale = model._radius_scale
+    rstar_n = model.rstar / rscale
+    maxdepth = model.maxdepth
+
+    def forward_b(params_b):
+        import os
+        params_b = jnp.asarray(params_b)
+        st = jax.vmap(state)(params_b)
+        temp = st['temp']                  # [B, l]
+        dens = st['dens']                  # [B, l, nmol]
+        radius = st['radius']              # [B, l]
+        rtop = st['rtop']                  # [B]
+        pars_list = st['pars_list']
+        fpatchy = st['fpatchy']
+        nb = params_b.shape[0]
+
+        # Contributions stay UN-summed: the ensemble RT kernel adds
+        # them in VMEM, which pins every producer's layout to the
+        # kernel's row-major operand (no XLA layout copies, no
+        # add-fusion buffer).  Elementwise sources share one
+        # accumulator (they fuse into a single producer); the
+        # line-sample dot keeps its own buffer.  The XLA fallback
+        # sums everything.
+        parts = []
+        cloud_parts = []
+        cia_ws = []
+        cia_tabs = []
+        elem = None
+        deck_itop = deck_rsurf = None
+        have_deck = False
+
+        for (mtype, m, imol), pars in zip(
+                model.opacity_models, pars_list):
+            if m.name == 'deck':
+                surf = jax.vmap(m.surface)(radius, temp, pars)
+                deck_itop, deck_rsurf, _ = surf
+                have_deck = True
+                continue
+
+            if mtype == 'line_sample':
+                # One flat einsum over the ensemble (a gather-lerp
+                # formulation was measured 2x slower: TPU row gathers
+                # dominate).  The batched-dot output still takes one
+                # layout copy in front of the RT kernel; acceptable:
+                tlo, w_hi = jax.vmap(m._t_weights)(temp)
+                w_t = _two_hot(tlo, w_hi, m.ntemp)      # [B, t, l]
+                ratios = (
+                    jax.vmap(m._jit_ratios)(pars)
+                    if pars is not None and m.npars
+                    else jnp.broadcast_to(
+                        jnp.asarray(m.iso_ratios), (nb, m.nspec))
+                )                                       # [B, s]
+                d_w = (
+                    jnp.swapaxes(dens[:, :, jnp.asarray(imol)], 1, 2)
+                    * ratios[:, :, None]
+                )                                       # [B, s, l]
+                w_stl = w_t[:, None] * d_w[:, :, None]  # [B, s, t, l]
+                contrib = jnp.einsum(
+                    'bstl,stlw->blw', w_stl,
+                    jnp.asarray(m.cs_table),
+                )
+            elif mtype == 'cia':
+                # The CIA weights go INTO the ensemble RT kernel (the
+                # table is tiny and chain-invariant: the kernel
+                # contracts it per wave tile); on the XLA fallback the
+                # same weights become an einsum:
+                tcl = jnp.clip(temp, m.tmin, m.tmax)
+                temps = jnp.asarray(m.temps)
+                tlo = jnp.clip(
+                    jnp.searchsorted(temps, tcl, side='right') - 1,
+                    0, m.ntemp - 2,
+                )
+                w_hi = (tcl - temps[tlo]) / (temps[tlo + 1] - temps[tlo])
+                w_t = _two_hot(tlo, w_hi, m.ntemp)      # [B, t, l]
+                dens_am = dens[:, :, jnp.asarray(imol)] / pc.amagat
+                dprod = jnp.prod(dens_am, axis=2)       # [B, l]
+                cia_ws.append(
+                    jnp.swapaxes(w_t * dprod[:, None, :], 1, 2),
+                )                                       # [B, l, t]
+                cia_tabs.append(np.asarray(m.tab_cs_amagat))
+                continue
+            elif mtype == 'alkali':
+                contrib = jax.vmap(m.extinction)(temp, dens[:, :, imol])
+            elif mtype == 'rayleigh':
+                contrib = jax.vmap(m.extinction)(dens[:, :, imol])
+            elif mtype == 'cloud':
+                contrib = jax.vmap(m.extinction)(temp, pars)
+            elif mtype == 'h_ion':
+                contrib = jax.vmap(m.extinction)(
+                    temp, dens[:, :, imol[0]], dens[:, :, imol[1]],
+                )
+            else:  # pragma: no cover -- _supported() gates this
+                raise ValueError(f'Unsupported opacity type {mtype}')
+
+            if mtype == 'cloud' and model.is_patchy:
+                cloud_parts.append(contrib)
+            elif mtype == 'line_sample':
+                parts.append(contrib)
+            else:
+                elem = contrib if elem is None else elem + contrib
+        if elem is not None:
+            parts.append(elem)
+        if cloud_parts and model.is_patchy:
+            cloud_sum = cloud_parts[0]
+            for extra_cloud in cloud_parts[1:]:
+                cloud_sum = cloud_sum + extra_cloud
+            cloud_parts = [cloud_sum]
+
+        # ---- Transit RT (batched):
+        rr = radius / rscale
+        path = jax.vmap(geometry.transit_path_matrix)(rr, rtop) * rscale
+        if have_deck:
+            ibottom = deck_itop + 1
+            rsurf_n = deck_rsurf / rscale
+        else:
+            ibottom = jnp.full((nb,), nlayers)
+            rsurf_n = None
+
+        fused = (
+            jax.default_backend() == 'tpu'
+            and os.environ.get('PBT_RT_PALLAS', '1') != '0'
+        )
+        if not parts and (not fused or not cia_ws):
+            parts = [jnp.zeros((nb, nlayers, nwave))]
+
+        if fused:
+            from ..spectrum.ensemble_pallas import (
+                transit_spectrum_ensemble,
+            )
+            cia_w = cia_tab = None
+            if cia_ws:
+                cia_w = jnp.concatenate(cia_ws, axis=2)
+                cia_tab = np.concatenate(cia_tabs, axis=0)
+                if not parts:
+                    parts = [jnp.zeros((nb, nlayers, nwave))]
+
+            def run_ensemble(ec_parts, ibot, ditop, dsurf):
+                return transit_spectrum_ensemble(
+                    ec_parts, path, rr, rstar_n, rtop, ibot,
+                    deck_itop=ditop, deck_rsurf=dsurf,
+                    cia_w=cia_w, cia_tab=cia_tab, maxdepth=maxdepth,
+                )
+
+            spectrum = run_ensemble(
+                parts + cloud_parts, ibottom,
+                deck_itop if have_deck else None,
+                rsurf_n if have_deck else None,
+            )
+            if model.is_patchy:
+                cloudy = spectrum
+                clear = run_ensemble(
+                    parts, jnp.full((nb,), nlayers), None, None,
+                )
+                fp = fpatchy if fpatchy is not None else 0.0
+                spectrum = (
+                    fp[:, None] * cloudy + (1 - fp[:, None]) * clear
+                )
+        else:
+            # XLA fallback (CPU / PBT_RT_PALLAS=0): CIA back to an
+            # ensemble einsum, then the unfused per-chain RT:
+            for cw, ct in zip(cia_ws, cia_tabs):
+                parts.append(jnp.einsum('blt,tw->blw', cw,
+                                        jnp.asarray(ct)))
+
+            def spec_one(ec_parts, path_i, rr_i, rtop_i, ibot_i, surf):
+                ditop, dsurf = surf
+                ec_i = ec_parts[0]
+                for part in ec_parts[1:]:
+                    ec_i = ec_i + part
+                depth, ideep = rt.transit_depth(
+                    ec_i, path_i, maxdepth, rtop_i, ibot_i,
+                )
+                return rt.transmission_spectrum(
+                    depth, ideep, rr_i, rstar_n, rtop_i,
+                    deck_rsurf=dsurf, deck_itop=ditop,
+                )
+
+            all_parts = tuple(parts + cloud_parts)
+            surf_args = (
+                (deck_itop, rsurf_n) if have_deck else (None, None)
+            )
+            surf_axes = (0, 0) if have_deck else (None, None)
+            spectrum = jax.vmap(
+                spec_one,
+                in_axes=((0,) * len(all_parts), 0, 0, 0, 0, surf_axes),
+            )(all_parts, path, rr, rtop, ibottom, surf_args)
+
+            if model.is_patchy:
+                cloudy = spectrum
+                clear = jax.vmap(
+                    spec_one,
+                    in_axes=((0,) * len(parts), 0, 0, 0, None,
+                             (None, None)),
+                )(tuple(parts), path, rr, rtop, nlayers, (None, None))
+                fp = fpatchy if fpatchy is not None else 0.0
+                spectrum = (
+                    fp[:, None] * cloudy + (1 - fp[:, None]) * clear
+                )
+
+        # ---- Rejection + band integration:
+        good = (
+            (jnp.min(temp, axis=1) >= tmin_bound)
+            & (jnp.max(temp, axis=1) <= tmax_bound)
+            & (jnp.min(temp, axis=1) > 0)
+        )
+        if qcap is not None and model.ibulk is not None:
+            good = good & ~jax.vmap(
+                lambda v: vmr_models.qcapcheck(
+                    v, qcap, np.asarray(model.ibulk)),
+            )(st['vmr'])
+        spectrum = jnp.where(good[:, None], spectrum, 0.0)
+
+        out = {
+            'spectrum': spectrum,
+            'temperature': temp,
+            'good': good,
+        }
+        if obs is not None and obs.nbands:
+            bandflux = jax.vmap(obs.band_integrate)(spectrum)
+            out['bandflux'] = jnp.where(
+                good[:, None], bandflux, jnp.inf,
+            )
+        return out
+
+    forward_b.is_fallback = False
+    return forward_b
+
+
+def build_log_posterior_batched(model, obs, ret):
+    """Batched params [B, n] -> log-posterior [B] on the ensemble hot
+    path (same math as vmap(build_log_posterior(...)))."""
+    from .forward import build_log_posterior
+
+    forward_b = build_forward_batched(model, obs, ret)
+    if forward_b.is_fallback:
+        log_post = build_log_posterior(model, obs, ret)
+        return jax.vmap(log_post)
+
+    data = jnp.asarray(obs.data)
+    uncert = jnp.asarray(obs.uncert)
+    pmin = jnp.asarray(ret.pmin)
+    pmax = jnp.asarray(ret.pmax)
+    prior = jnp.asarray(ret.prior)
+    priorlow = jnp.asarray(ret.priorlow)
+    priorup = jnp.asarray(ret.priorup)
+    has_prior = jnp.asarray(ret.priorlow > 0)
+
+    def log_post_b(params_b):
+        params_b = jnp.asarray(params_b)
+        result = forward_b(params_b)
+        bandflux = result['bandflux']
+        data_adj = data[None, :]
+        uncert_adj = uncert[None, :]
+        log_norm = 0.0
+        if ret.ioffset:
+            data_adj = jax.vmap(obs.offset_data)(
+                params_b[:, jnp.asarray(ret.ioffset)],
+            )
+        if ret.ierror:
+            uncert_adj = jax.vmap(obs.scale_uncert)(
+                params_b[:, jnp.asarray(ret.ierror)],
+            )
+            log_norm = -jnp.sum(
+                jnp.log(uncert_adj / uncert[None, :]), axis=1,
+            )
+        resid = (bandflux - data_adj) / uncert_adj
+        log_like = -0.5 * jnp.sum(resid**2, axis=1) + log_norm
+        in_bounds = jnp.all(
+            (params_b >= pmin[None]) & (params_b <= pmax[None]), axis=1,
+        )
+        sigma = jnp.where(params_b > prior[None], priorup[None],
+                          priorlow[None])
+        log_prior = -0.5 * jnp.sum(jnp.where(
+            has_prior[None],
+            ((params_b - prior[None]) / jnp.where(
+                sigma > 0, sigma, 1.0))**2,
+            0.0,
+        ), axis=1)
+        logp = log_like + log_prior
+        bad = ~in_bounds | ~result['good'] | ~jnp.isfinite(log_like)
+        return jnp.where(bad, -jnp.inf, logp)
+
+    return log_post_b

@@ -121,7 +121,11 @@ def build_forward(model, obs=None, ret=None, dtype=None):
             '@TEMPERATURES) or a blackbody star (tstar alone)'
         )
 
-    def forward(params=None):
+    def state(params=None):
+        """Parameter mapping + atmospheric state: everything upstream
+        of the opacity/RT stage, as a pytree (the batched ensemble
+        builder vmaps this part and assembles opacities itself --
+        retrieval/batched.py)."""
         # ---- Map parameters onto model slots:
         tpars = base_tpars
         vmr_par_list = base_vmr_pars
@@ -201,6 +205,32 @@ def build_forward(model, obs=None, ret=None, dtype=None):
         if radius is not None and np.isfinite(model.rhill):
             inside = radius < model.rhill
             rtop = jnp.where(jnp.any(inside), jnp.argmax(inside), 0)
+
+        return {
+            'params': params, 'tpars': tpars,
+            'vmr_par_list': vmr_par_list, 'pars_list': pars_list,
+            'rplanet': rplanet, 'mplanet': mplanet,
+            'refpress': refpress, 'fpatchy': fpatchy,
+            'f_dilution': f_dilution, 'tstar': tstar,
+            'temp': temp, 'vmr': vmr, 'dens': dens, 'mm': mm,
+            'radius': radius, 'rtop': rtop,
+        }
+
+    def forward(params=None):
+        st = state(params)
+        params = st['params']
+        tpars = st['tpars']
+        pars_list = st['pars_list']
+        rplanet = st['rplanet']
+        mplanet = st['mplanet']
+        fpatchy = st['fpatchy']
+        f_dilution = st['f_dilution']
+        tstar = st['tstar']
+        temp = st['temp']
+        vmr = st['vmr']
+        dens = st['dens']
+        radius = st['radius']
+        rtop = st['rtop']
 
         # ---- Opacity + RT (reuses the Model's jit-safe pipeline):
         ec, ec_cloud, deck_surface = model.extinction(
@@ -296,6 +326,7 @@ def build_forward(model, obs=None, ret=None, dtype=None):
             )
         return out
 
+    forward.state = state
     return forward
 
 

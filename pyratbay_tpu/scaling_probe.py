@@ -1,17 +1,26 @@
 """Wave-sharding scaling probe: one device-count measurement.
 
-Run as `python -m pyratbay_tpu.scaling_probe N` in a fresh process:
-forces the CPU backend with N virtual devices, wave-shards the flagship
-model's spectral tables over a (1, N) mesh, times the jitted vmapped
-forward at a FIXED total problem size, and prints one JSON line.
+Run as `python -m pyratbay_tpu.scaling_probe N [resolution]` in a fresh
+process: forces the CPU backend with N virtual devices, wave-shards the
+flagship model's spectral tables over a (1, N) mesh, times the jitted
+vmapped forward, and prints one JSON line.
 
-The fixed-total-work design isolates the cost of the sharded program
-itself (partitioning + collectives inserted by GSPMD) from hardware
-scaling: on a single host, perfect sharding keeps wall time constant as
-N grows, so efficiency(N) = t(1)/t(N) measures the overhead of the
-wavenumber-domain decomposition (the BASELINE.md >= 80% scaling target;
-the reference never decomposes wavenumber at all -- each of its fork
-workers recomputes the full spectrum, pyrat/extinction.py:110-119).
+Strong scaling (fixed total work): perfect sharding keeps wall time
+constant as N grows on one host, so efficiency(N) = t(1)/t(N) measures
+the overhead of the wavenumber-domain decomposition (partitioning +
+GSPMD collectives; the BASELINE.md >= 80% target).  Round-3 probed only
+the small flagship grid (401 pts/shard at N=8, too little work to
+amortize overhead); pass a constant-R `resolution` for shard-worthy
+grids (R115k: ~6.3k pts/shard at N=8).
+
+Weak scaling: pick resolution proportional to N (e.g. 15k*N), so
+per-shard work stays constant; weak efficiency = t(1)/t(N).
+
+The reference never decomposes wavenumber at all -- each fork worker
+recomputes the full spectrum (pyrat/extinction.py:110-119).
+
+Env knobs: PBT_PROBE_BATCH (default 16), PBT_PROBE_ITERS (default 20),
+PBT_PROBE_PASSES (default 3).
 """
 import json
 import os
@@ -19,7 +28,7 @@ import sys
 import time
 
 
-def main(n_devices, batch=16, n_iter=20):
+def main(n_devices, resolution=None):
     os.environ['JAX_PLATFORMS'] = 'cpu'
     os.environ['XLA_FLAGS'] = (
         os.environ.get('XLA_FLAGS', '')
@@ -35,10 +44,17 @@ def main(n_devices, batch=16, n_iter=20):
     from .parallel.sharded import shard_model_tables
     from .retrieval.forward import build_forward
 
+    batch = int(os.environ.get('PBT_PROBE_BATCH', 16))
+    n_iter = int(os.environ.get('PBT_PROBE_ITERS', 20))
+    passes = int(os.environ.get('PBT_PROBE_PASSES', 3))
+
     devices = jax.devices()[:n_devices]
     assert len(devices) == n_devices
 
-    model, obs, ret, forward, p0 = make_flagship()
+    kw = {}
+    if resolution:
+        kw = dict(wnstep=None, resolution=float(resolution))
+    model, obs, ret, forward, p0 = make_flagship(**kw)
     if n_devices > 1:
         mesh = Mesh(
             np.asarray(devices).reshape(1, n_devices), ('chains', 'wave'),
@@ -54,11 +70,11 @@ def main(n_devices, batch=16, n_iter=20):
          ).astype(np.float32),
     )
     np.asarray(batched(params))  # compile + warm up
-    # Best-of-3 passes: host-contention noise (the probe shares a small
+    # Best-of-N passes: host-contention noise (the probe shares a small
     # CPU with everything else) only ever inflates a pass, never
     # deflates it.
     dt = float('inf')
-    for _ in range(3):
+    for _ in range(passes):
         start = time.perf_counter()
         out = None
         for _ in range(n_iter):
@@ -70,9 +86,14 @@ def main(n_devices, batch=16, n_iter=20):
         'sec_per_batch': dt,
         'spectra_per_s': batch / dt,
         'nwave': int(model.nwave),
+        'wave_pts_per_shard': int(model.nwave) // n_devices,
+        'batch': batch,
     }))
     return 0
 
 
 if __name__ == '__main__':
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 1))
+    sys.exit(main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 1,
+        float(sys.argv[2]) if len(sys.argv) > 2 else None,
+    ))

@@ -1,0 +1,193 @@
+"""Ensemble transit-RT pallas kernel: the whole-batch hot path.
+
+Extends the per-chain fused kernel (rt_pallas.py) to a natively
+batched grid (wave-tile OUTER, chain-block INNER), which buys two
+things the vmapped kernel cannot:
+
+* chain-invariant tables live as kernel operands indexed only by the
+  wave tile, so they are fetched from HBM once per tile and reused
+  across the whole ensemble -- the CIA temperature contraction happens
+  in-kernel against its (tiny) table instead of as an XLA batched dot
+  whose output costs a [B, nlayers, nwave] buffer plus a layout copy;
+* the per-chain RT (chord matmul on the MXU + ideep/exp/trapezoid
+  epilogue) runs per chain-block with zero intermediate HBM traffic.
+
+HBM per batch = the un-summed extinction parts (read once each) + the
+small per-chain weight arrays + the [B, nwave] spectrum write.
+
+Semantics identical to rt_pallas.transit_spectrum_fused per chain
+(pinned by tests/test_batched.py through the ensemble builder).
+Reference: pyratbay/src_c/_trapezoid.c:238-276,
+pyratbay/spectrum/radiative_transfer.py:23-73, opacity/cia.py:150-211.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rt_pallas import _wave_tile, chain_rt_epilogue, prep_chain
+
+__all__ = ['transit_spectrum_ensemble']
+
+
+def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
+                     *rest, maxdepth, l8, cb, n_parts, has_cia):
+    if has_cia:
+        *part_refs, ciaw_ref, ciat_ref, out_ref = rest
+    else:
+        *part_refs, out_ref = rest
+        ciaw_ref = ciat_ref = None
+
+    for c in range(cb):
+        ec = part_refs[0][c]                  # [l8, wt]
+        for ref in part_refs[1:]:
+            ec = ec + ref[c]
+        if has_cia:
+            # In-kernel CIA: [l8, K] x [K, wt] against the shared,
+            # per-wave-tile-resident table:
+            ec = ec + jnp.dot(
+                ciaw_ref[c], ciat_ref[...],
+                preferred_element_type=ec.dtype,
+            )
+        depth = jnp.dot(
+            path2_ref[c], ec, preferred_element_type=ec.dtype,
+        )
+        scal = tuple(scal_ref[c, i] for i in range(7))
+        out_ref[c:c + 1, :] = chain_rt_epilogue(
+            depth, rad_ref[c], h_ref[c], hprev_ref[c], scal,
+            maxdepth=maxdepth, l8=l8,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('maxdepth', 'interpret', 'chain_block'),
+)
+def transit_spectrum_ensemble(
+        ec_parts, path, radius, rstar, itop, ibottom,
+        deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None, *,
+        maxdepth=np.inf, interpret=False, chain_block=32,
+    ):
+    """Batched transit spectra in one fused kernel.
+
+    Parameters
+    ----------
+    ec_parts: list of [B, nlayers, nwave] extinction contributions
+        (summed in-kernel).
+    path: [B, nlayers, nlayers-1] chord matrices.
+    radius: [B, nlayers] (normalized like rstar).
+    rstar: scalar.
+    itop, ibottom: [B] traced ints.
+    deck_itop, deck_rsurf: [B] traced deck surfaces, or None.
+    cia_w: [B, nlayers, K] CIA weights (all tables concatenated along
+        K), or None.  cia_tab: [K, nwave] concatenated tables.
+    maxdepth: static early-stop optical depth.
+    chain_block: chains per grid step (static; B is padded up to a
+        multiple).
+
+    Returns
+    -------
+    spectrum [B, nwave].
+    """
+    import os
+    ec_parts = list(ec_parts)
+    nb, nlayers, nwave = ec_parts[0].shape
+    # Defaults from the round-4 flagship sweep (512 chains, 51x3209):
+    # (256 lanes, 32-chain blocks) beat (512,16)/(1664,8) by 5-8%;
+    # env overrides for tuning on other shapes:
+    max_lanes = int(os.environ.get('PBT_ENS_LANES', 256))
+    npad, wtile = _wave_tile(nwave, max_lanes=max_lanes)
+    cb = int(os.environ.get('PBT_ENS_CB', chain_block))
+    bpad = -(-nb // cb) * cb
+    dt = ec_parts[0].dtype
+    has_cia = cia_w is not None
+
+    path = path.astype(dt)
+    path2 = jnp.pad(path, ((0, 0), (0, 0), (1, 0))) \
+        + jnp.pad(path, ((0, 0), (0, 0), (0, 1)))   # [B, l, l]
+
+    prep = jax.vmap(
+        prep_chain,
+        in_axes=(0, None, 0, 0,
+                 0 if deck_itop is not None else None,
+                 0 if deck_rsurf is not None else None,
+                 None, None),
+    )
+    scal, rad_col, h_col, hprev_col = prep(
+        radius, rstar, itop, ibottom, deck_itop, deck_rsurf,
+        dt, nlayers,
+    )
+
+    if bpad != nb:
+        pad_b = ((0, bpad - nb),)
+        ec_parts = [
+            jnp.pad(p, pad_b + ((0, 0), (0, 0)), mode='edge')
+            for p in ec_parts
+        ]
+        path2 = jnp.pad(path2, pad_b + ((0, 0), (0, 0)), mode='edge')
+        scal = jnp.pad(scal, pad_b + ((0, 0),), mode='edge')
+        rad_col = jnp.pad(
+            rad_col, pad_b + ((0, 0), (0, 0)), mode='edge')
+        h_col = jnp.pad(h_col, pad_b + ((0, 0), (0, 0)), mode='edge')
+        hprev_col = jnp.pad(
+            hprev_col, pad_b + ((0, 0), (0, 0)), mode='edge')
+        if has_cia:
+            cia_w = jnp.pad(
+                cia_w, pad_b + ((0, 0), (0, 0)), mode='edge')
+
+    kernel = functools.partial(
+        _ensemble_kernel, maxdepth=float(maxdepth), l8=nlayers,
+        cb=cb, n_parts=len(ec_parts), has_cia=has_cia,
+    )
+    grid = (npad // wtile, bpad // cb)
+    chain3 = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM,
+    )
+    part_spec = pl.BlockSpec(
+        (cb, nlayers, wtile), lambda i, j: (j, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec((cb, 8), lambda i, j: (j, 0),
+                     memory_space=pltpu.SMEM),
+        chain3((cb, nlayers, nlayers)),
+        chain3((cb, nlayers, 1)),
+        chain3((cb, nlayers, 1)),
+        chain3((cb, nlayers, 1)),
+    ] + [part_spec] * len(ec_parts)
+    operands = [scal, path2, rad_col, h_col, hprev_col, *ec_parts]
+    if has_cia:
+        kdim = cia_tab.shape[0]
+        in_specs.append(chain3((cb, nlayers, kdim)))
+        in_specs.append(pl.BlockSpec(
+            (kdim, wtile), lambda i, j: (0, i),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(cia_w.astype(dt))
+        operands.append(jnp.asarray(cia_tab, dt))
+
+    kcia = cia_tab.shape[0] if has_cia else 0
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (cb, wtile), lambda i, j: (j, i), memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bpad, npad), dt),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bpad * nlayers * npad * (nlayers + kcia)
+            + 30 * bpad * nlayers * npad,
+            bytes_accessed=4 * (
+                len(ec_parts) * bpad * nlayers * nwave
+                + bpad * nlayers * nlayers + kcia * nwave
+                + bpad * nwave
+            ),
+            transcendentals=bpad * nlayers * npad,
+        ),
+    )(*operands)
+    return out[:nb, :nwave]

@@ -55,23 +55,18 @@ def _wave_tile(nwave, max_lanes=4096):
     return n128 * 128, best * 128
 
 
-def _transit_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
-                    ec_ref, out_ref, *, maxdepth, l8):
-    itop = scal_ref[0, 0]
-    ibottom = scal_ref[0, 1]
-    deck_itop = scal_ref[0, 2]
-    apply_deck = scal_ref[0, 3]
-    w_surf = scal_ref[0, 4]
-    inv_rstar2 = scal_ref[0, 5]
-    r_itop2 = scal_ref[0, 6]
-
-    ec = ec_ref[...]                          # [l8, wt]
-    path2 = path2_ref[...]                    # [l8, l8]
-    depth = jnp.dot(path2, ec, preferred_element_type=ec.dtype)
-
+def chain_rt_epilogue(depth, rad_col, h_col, hprev_col, scal, *,
+                      maxdepth, l8):
+    """Everything after the chord contraction, for one chain:
+    depth [l8, wt] -> spectrum row [1, wt].  `scal` is the 7-vector
+    built by _prep_scalars; shared by the per-chain and ensemble
+    kernels."""
+    (itop, ibottom, deck_itop, apply_deck, w_surf, inv_rstar2,
+     r_itop2) = scal
+    dt = depth.dtype
     rows = jax.lax.broadcasted_iota(
         jnp.int32, depth.shape, 0,
-    ).astype(ec.dtype)
+    ).astype(dt)
     in_range = (rows >= itop) & (rows < ibottom)
     exceeded = in_range & (depth > maxdepth)
     first = jnp.min(
@@ -79,7 +74,7 @@ def _transit_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
     )                                         # [1, wt]
     ideep = jnp.where(first < float(l8), first, ibottom - 1.0)
 
-    integ = jnp.exp(-depth) * rad_ref[...]    # [l8, wt] * [l8, 1]
+    integ = jnp.exp(-depth) * rad_col         # [l8, wt] * [l8, 1]
 
     # Cloud-deck surface splice: replace row deck_itop with the
     # interpolation between rows deck_itop-1 and deck_itop:
@@ -100,49 +95,37 @@ def _transit_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
     m = in_range & (rows < ideep)
     mp = (rows >= itop + 1.0) & (rows <= ideep)
     coef = 0.5 * (
-        h_ref[...] * m.astype(ec.dtype)
-        + hprev_ref[...] * mp.astype(ec.dtype)
+        h_col * m.astype(dt) + hprev_col * mp.astype(dt)
     )
     integral = jnp.sum(integ * coef, axis=0, keepdims=True)  # [1, wt]
-    out_ref[...] = (r_itop2 + 2.0 * integral) * inv_rstar2
+    return (r_itop2 + 2.0 * integral) * inv_rstar2
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=('maxdepth', 'interpret'),
-)
-def transit_spectrum_fused(
-        ec, path, radius, rstar, itop, ibottom,
-        deck_itop=None, deck_rsurf=None, *,
-        maxdepth=np.inf, interpret=False,
-    ):
-    """Transit (Rp/Rs)^2 spectrum from extinction in one fused kernel.
+def _transit_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
+                    *ec_and_out, maxdepth, l8):
+    # Extinction arrives as N un-summed contributions; summing here
+    # (instead of an XLA add fusion) pins each producer's output
+    # layout to the kernel's row-major operand layout, killing the
+    # batch-minor layout copies XLA otherwise inserts between the
+    # batched-dot opacity producers and this kernel:
+    *ec_refs, out_ref = ec_and_out
+    ec = ec_refs[0][...]                      # [l8, wt]
+    for ref in ec_refs[1:]:
+        ec = ec + ref[...]
+    path2 = path2_ref[...]                    # [l8, l8]
+    depth = jnp.dot(path2, ec, preferred_element_type=ec.dtype)
+    scal = tuple(scal_ref[0, i] for i in range(7))
+    out_ref[...] = chain_rt_epilogue(
+        depth, rad_ref[...], h_ref[...], hprev_ref[...], scal,
+        maxdepth=maxdepth, l8=l8,
+    )
 
-    Parameters
-    ----------
-    ec: [nlayers, nwave] extinction coefficient (cm-1); any radius
-        normalization must match `path` (the rr*rscale convention of
-        Model._run_transit is fine: the depth product is unit-free).
-    path: [nlayers, nlayers-1] chord matrix (transit_path_matrix,
-        un-padded; the pair-sum fold happens here).
-    radius: [nlayers] (same normalization as rstar).
-    rstar: scalar stellar radius.
-    itop: top integration row (traced int).
-    ibottom: one-past-bottom row (traced int; deck_itop+1 with a deck).
-    deck_itop / deck_rsurf: opaque-deck surface (traced), or None.
-    maxdepth: static early-stop optical depth.
 
-    Returns
-    -------
-    spectrum [nwave] f32.
-    """
-    nlayers, nwave = ec.shape
-    npad, wtile = _wave_tile(nwave)
-
-    dt = ec.dtype
-    path = path.astype(dt)
-    path2 = jnp.pad(path, ((0, 0), (1, 0))) \
-        + jnp.pad(path, ((0, 0), (0, 1)))
+def prep_chain(radius, rstar, itop, ibottom, deck_itop, deck_rsurf,
+               dt, nlayers):
+    """Per-chain kernel operands: the scalar 8-vector plus the
+    radius/h/h_prev columns (deck fixups applied).  Shared by the
+    per-chain and ensemble kernels; vmappable."""
     radius = radius.astype(dt)
     rad_col = radius[:, None]
     h = radius[1:] - radius[:-1]              # [nlayers-1], negative
@@ -175,18 +158,66 @@ def transit_spectrum_fused(
     r_itop2 = jnp.take(radius, jnp.clip(itop.astype(jnp.int32), 0,
                                         nlayers - 1)) ** 2
     inv_rstar2 = 1.0 / jnp.asarray(rstar, dt) ** 2
-    # (1, 8) so the vmap batching rule yields a lowering-legal
-    # (1, 1, 8) SMEM block:
     scal = jnp.stack([
         itop, ibottom, deck_row, apply_deck,
         w_surf, inv_rstar2, r_itop2, jnp.asarray(0.0, dt),
-    ])[None, :]
+    ])
+    return scal, rad_col, h_col, hprev_col
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('maxdepth', 'interpret'),
+)
+def transit_spectrum_fused(
+        ec, path, radius, rstar, itop, ibottom,
+        deck_itop=None, deck_rsurf=None, *,
+        maxdepth=np.inf, interpret=False,
+    ):
+    """Transit (Rp/Rs)^2 spectrum from extinction in one fused kernel.
+
+    Parameters
+    ----------
+    ec: [nlayers, nwave] extinction coefficient (cm-1); any radius
+        normalization must match `path` (the rr*rscale convention of
+        Model._run_transit is fine: the depth product is unit-free).
+    path: [nlayers, nlayers-1] chord matrix (transit_path_matrix,
+        un-padded; the pair-sum fold happens here).
+    radius: [nlayers] (same normalization as rstar).
+    rstar: scalar stellar radius.
+    itop: top integration row (traced int).
+    ibottom: one-past-bottom row (traced int; deck_itop+1 with a deck).
+    deck_itop / deck_rsurf: opaque-deck surface (traced), or None.
+    maxdepth: static early-stop optical depth.
+
+    Returns
+    -------
+    spectrum [nwave] f32.
+    """
+    ec_parts = list(ec) if isinstance(ec, (tuple, list)) else [ec]
+    nlayers, nwave = ec_parts[0].shape
+    npad, wtile = _wave_tile(nwave)
+
+    dt = ec_parts[0].dtype
+    path = path.astype(dt)
+    path2 = jnp.pad(path, ((0, 0), (1, 0))) \
+        + jnp.pad(path, ((0, 0), (0, 1)))
+    scal, rad_col, h_col, hprev_col = prep_chain(
+        radius, rstar, itop, ibottom, deck_itop, deck_rsurf,
+        dt, nlayers,
+    )
+    # (1, 8) so the vmap batching rule yields a lowering-legal
+    # (1, 1, 8) SMEM block:
+    scal = scal[None, :]
 
     kernel = functools.partial(
         _transit_kernel, maxdepth=float(maxdepth), l8=nlayers,
     )
     grid = (npad // wtile,)
     full = lambda i: (0, 0)
+    ec_spec = pl.BlockSpec(
+        (nlayers, wtile), lambda i: (0, i), memory_space=pltpu.VMEM,
+    )
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -199,21 +230,18 @@ def transit_spectrum_fused(
             pl.BlockSpec((nlayers, 1), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((nlayers, 1), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((nlayers, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (nlayers, wtile), lambda i: (0, i),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        ] + [ec_spec] * len(ec_parts),
         out_specs=pl.BlockSpec(
             (1, wtile), lambda i: (0, i), memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((1, npad), dt),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * nlayers * nlayers * npad + 30 * nlayers * npad,
-            bytes_accessed=4 * (nlayers * nwave + nlayers * nlayers
-                                + nwave),
+            flops=2 * nlayers * nlayers * npad
+            + (30 + len(ec_parts)) * nlayers * npad,
+            bytes_accessed=4 * (len(ec_parts) * nlayers * nwave
+                                + nlayers * nlayers + nwave),
             transcendentals=nlayers * npad,
         ),
-    )(scal, path2, rad_col, h_col, hprev_col, ec)
+    )(scal, path2, rad_col, h_col, hprev_col, *ec_parts)
     return out[0, :nwave]

@@ -1,0 +1,79 @@
+"""Batched ensemble forward == vmap(per-chain forward), f64 CPU.
+
+The batched builder restructures the opacity contractions and RT for
+layout-copy-free ensemble execution (retrieval/batched.py); this pins
+its outputs -- spectrum, bandflux, rejection flags, log-posterior --
+against the per-chain forward under vmap, including out-of-bounds
+parameter vectors.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyratbay_tpu.benchmark import make_flagship
+from pyratbay_tpu.retrieval import build_forward, build_log_posterior
+from pyratbay_tpu.retrieval.batched import (
+    build_forward_batched, build_log_posterior_batched,
+)
+
+
+@pytest.fixture(scope='module')
+def flagship(tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp('flagship_batched'))
+    model, obs, ret, forward, p0 = make_flagship(workdir)
+    return model, obs, ret, forward, np.asarray(p0)
+
+
+def _params(p0, n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    pb = np.tile(p0, (n, 1)) + 0.05 * rng.standard_normal((n, len(p0)))
+    # One out-of-bounds chain (temperature blow-up):
+    pb[-1, 1] = 1.0e6
+    return jnp.asarray(pb)
+
+
+def test_batched_matches_vmap(flagship):
+    model, obs, ret, forward, p0 = flagship
+    forward_b = build_forward_batched(model, obs, ret)
+    assert not forward_b.is_fallback
+
+    pb = _params(p0)
+    ref = jax.jit(jax.vmap(
+        lambda p: {k: forward(p)[k]
+                   for k in ('spectrum', 'bandflux', 'good')},
+    ))(pb)
+    got = jax.jit(forward_b)(pb)
+
+    np.testing.assert_array_equal(
+        np.asarray(got['good']), np.asarray(ref['good']))
+    assert not bool(np.asarray(ref['good'])[-1])
+    np.testing.assert_allclose(
+        np.asarray(got['spectrum']), np.asarray(ref['spectrum']),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got['bandflux'])[:-1], np.asarray(ref['bandflux'])[:-1],
+        rtol=1e-10,
+    )
+    # Rejected chain: +inf bandflux in both:
+    assert np.all(np.isinf(np.asarray(got['bandflux'])[-1]))
+
+
+def test_batched_log_posterior_matches(flagship):
+    model, obs, ret, forward, p0 = flagship
+    if getattr(model.cfg, 'data', None) is None:
+        # Synthesize data so the likelihood exists:
+        band = np.asarray(forward(jnp.asarray(p0))['bandflux'])
+        obs.data = band * (1 + 1e-4)
+        obs.uncert = np.abs(band) * 1e-3 + 1e-12
+    log_post = build_log_posterior(model, obs, ret)
+    log_post_b = build_log_posterior_batched(model, obs, ret)
+
+    pb = _params(p0, seed=1)
+    ref = np.asarray(jax.jit(jax.vmap(log_post))(pb))
+    got = np.asarray(jax.jit(log_post_b)(pb))
+    finite = np.isfinite(ref)
+    assert finite.sum() >= 3
+    np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-10)
+    np.testing.assert_array_equal(np.isfinite(got), finite)

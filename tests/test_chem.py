@@ -376,8 +376,10 @@ radmodel = hydro_m
 @requires_reference
 def test_tea_profile_vs_chemcat_golden():
     """Native Gibbs network vs the reference's stored chemcat TEA
-    profile (expected_tea_profile.npz): bulk species exact, traces
-    within the thermo-data differences (~4%)."""
+    profile (expected_tea_profile.npz): bulk species exact, traces to
+    <= 1% after the g0 chemcat-parity calibration (chem.py
+    _G0_CALIBRATION; fitted on THIS golden, validated held-out by
+    test_tea_sub_solar_vs_chemcat_golden)."""
     from pyratbay_tpu import driver
     model = driver.run(
         REFERENCE_ROOT + 'tests/configs/atmosphere_equilibrium_test.cfg',
@@ -390,11 +392,37 @@ def test_tea_profile_vs_chemcat_golden():
     assert vmr.shape == gold.shape
     # Bulk species (H2, He) match to float64 solver precision:
     np.testing.assert_allclose(vmr[:, :2], gold[:, :2], rtol=1e-4)
-    # Trace species: within different-thermo-data territory:
+    # Trace species (retrieval-relevant absorbers):
     strong = gold > 1e-10
     dev = np.abs(vmr[strong] / gold[strong] - 1)
-    assert dev.max() < 0.05
-    assert np.median(dev) < 1e-3
+    assert dev.max() < 0.01
+    assert np.median(dev) < 5e-4
+
+
+@requires_reference
+def test_tea_sub_solar_vs_chemcat_golden(tmp_path):
+    """HELD-OUT chemcat validation: the [M/H] = -1 variant
+    (expected_tea_sub_solar_profile.npz) was never used to fit the
+    _G0_CALIBRATION offsets, so <= 1% here shows the calibration
+    captures thermo differences, not one profile's quirks."""
+    from pyratbay_tpu import driver
+    base = open(
+        REFERENCE_ROOT + 'tests/configs/atmosphere_equilibrium_test.cfg'
+    ).read()
+    cfg = tmp_path / 'sub_solar.cfg'
+    cfg.write_text(base + '\nvmr_vars = [M/H] -1.0\n')
+    model = driver.run(str(cfg), root=REFERENCE_ROOT, with_log=False)
+    gold = np.load(
+        REFERENCE_ROOT
+        + 'tests/expected/expected_tea_sub_solar_profile.npz'
+    )['arr_0']
+    vmr = np.asarray(model.eval_vmr())
+    assert vmr.shape == gold.shape
+    np.testing.assert_allclose(vmr[:, :2], gold[:, :2], rtol=1e-4)
+    strong = gold > 1e-10
+    dev = np.abs(vmr[strong] / gold[strong] - 1)
+    assert dev.max() < 0.01
+    assert np.median(dev) < 5e-4
 
 
 @requires_reference
