@@ -169,6 +169,20 @@ def main():
             extras['throughput_curve'] = _throughput_curve()
         except Exception as exc:
             extras['curve_error'] = f'{type(exc).__name__}: {exc}'[:120]
+    # Production-scale workloads (SURVEY sizes):
+    if os.environ.get('PBT_BENCH_PRODUCTION', '1') != '0':
+        _stage('production table (~1.2e9 pts)')
+        try:
+            extras.update(_production_table())
+        except Exception as exc:
+            extras['production_table_error'] = (
+                f'{type(exc).__name__}: {exc}'[:200])
+        _stage('production retrieval (1024 chains)')
+        try:
+            extras.update(_production_retrieval())
+        except Exception as exc:
+            extras['production_retrieval_error'] = (
+                f'{type(exc).__name__}: {exc}'[:200])
     # Wave-sharding scaling efficiency (CPU virtual devices, fixed
     # total work; see pyratbay_tpu/scaling_probe.py):
     if os.environ.get('PBT_BENCH_SCALING', '1') != '0':
@@ -227,9 +241,22 @@ def _synthetic_lines(nlines=50_000, seed=0):
     return _Lines()
 
 
-def _lbl_rates(n_iter=10, block=8):
+def _lbl_rates(n_iter=50, block=8):
     """DirectLBL pair rate (8-cell blocks, the tabulation workload)
-    plus full tabulate() throughput."""
+    plus full tabulate() throughput.
+
+    n_iter = 50: every rate here is (n dispatches + ONE ~25 ms tunnel
+    fetch) / n, so small n understates the sustained device rate by
+    ~2.5 ms/call at n=10 -- the round-2 -> round-3 'regression'
+    (14.1 -> 13.5 Gpair/s) was mostly this artifact + host contention.
+
+    Reported rates:
+      * lbl_line_pairs_per_s -- padded candidate-window pairs (the
+        round-1 definition, kept comparable across rounds);
+      * lbl_effective_pairs_per_s -- pairs inside the physical cutoff
+        window only (the work the reference's C kernel would do,
+        src_c/_extcoeff.c:270-308); the ratio is the masked-work
+        overhead of the static-tile formulation."""
     import jax
     import jax.numpy as jnp
     from pyratbay_tpu.opacity.lbl_tpu import DirectLBL
@@ -258,8 +285,13 @@ def _lbl_rates(n_iter=10, block=8):
     )
     dt = _rate(lambda: batched(*args), n_iter)
     pairs = direct.ntiles * direct.tile * direct.lmax * block
+    line_density = len(lines.lwn) / (lines.lwn[-1] - lines.lwn[0])
+    eff_pairs = (
+        block * direct.nwave * 2.0 * direct.cutoff * line_density
+    )
     rates = {
         'lbl_line_pairs_per_s': round(pairs / dt / 1e9, 2),
+        'lbl_effective_pairs_per_s': round(float(eff_pairs / dt / 1e9), 2),
         'lbl_grid_points_per_s': round(block * direct.nwave / dt, 1),
     }
 
@@ -493,6 +525,177 @@ def _radeq_rate(nsamples=250):
         'radeq_iters_per_s': round(nsamples / dt, 2),
         'radeq_nlayers': int(model.nlayers),
         'radeq_nwave': int(model.nwave),
+    }
+
+
+def _production_table(nspec=5, ntemp=24, nlayers=51, nwave=200_000):
+    """Production-scale opacity tabulation: nspec independent
+    line-list tables over (ntemp x nlayers x nwave) -- ~1.2e9 grid
+    points at the defaults (the SURVEY-scale workload; the small
+    tabulation probe above is a 1.6M-point sample).
+
+    Wall-clock covers the full device sweep of every (T, layer) cell
+    of every species with ONE host fetch at the end (production
+    tables stream to npz per species; the axon tunnel's device-to-host
+    path is not the device's tabulation rate).  Compile time is
+    reported separately (one program serves all species).
+    """
+    import jax
+    import jax.numpy as jnp
+    from pyratbay_tpu.opacity.lbl_tpu import DirectLBL
+
+    block = 8
+    press = np.logspace(-6, 2, nlayers)
+    temps = np.linspace(300.0, 3000.0, ntemp)
+    vmr = np.array([0.85, 0.149, 1e-6, 3e-6, 5e-8, 4e-4, 1e-4, 5e-4,
+                    1e-7])
+    cells_t = np.repeat(temps, nlayers)
+    press_cells = np.tile(press, ntemp)
+    ncells = ntemp * nlayers
+    nblocks = -(-ncells // block)
+    npad = nblocks * block - ncells
+    cells_t = np.pad(cells_t, (0, npad), mode='edge')
+    press_cells = np.pad(press_cells, (0, npad), mode='edge')
+
+    t_compile = 0.0
+    t0_all = time.perf_counter()
+    out = None
+    for ispec in range(nspec):
+        lines = _synthetic_lines(seed=ispec)
+        lines.wn = np.linspace(5882.0, 9091.0, nwave)
+        direct = DirectLBL(lines, tile=128)
+        dens = vmr[None, :] * (
+            press_cells[:, None] * 1.01325e6
+            / (1.380649e-16 * cells_t[:, None])
+        )
+        pf = lines.iso_pf(cells_t).T
+        batched = jax.jit(direct._cross_section_batch)
+        tbl = direct.tables()
+        for lo in range(0, nblocks * block, block):
+            t_args = (
+                jnp.asarray(cells_t[lo:lo + block], jnp.float32),
+                jnp.asarray(dens[lo:lo + block], jnp.float32),
+                jnp.asarray(pf[lo:lo + block], jnp.float32),
+            )
+            if ispec == 0 and lo == 0:
+                t_c = time.perf_counter()
+                out = batched(tbl, *t_args)
+                jax.block_until_ready(out)
+                t_compile = time.perf_counter() - t_c
+            else:
+                out = batched(tbl, *t_args)
+    _sync(out)
+    wall = time.perf_counter() - t0_all - t_compile
+    points = nspec * ntemp * nlayers * nwave
+    return {
+        'production_table': {
+            'nspec': nspec, 'ntemp': ntemp, 'nlayers': nlayers,
+            'nwave': nwave, 'points': points,
+            'device_seconds': round(wall, 1),
+            'compile_seconds': round(t_compile, 1),
+            'points_per_s': round(points / wall, 1),
+        },
+    }
+
+
+def _production_retrieval(nchains=1024, chunk_gens=500, max_chunks=40,
+                          gr_target=1.01):
+    """End-to-end retrieval at production ensemble size: 1024 DEMC
+    chains on the flagship model against WFC3-grade synthesized
+    observations (30 ppm), run in 500-generation chunks with
+    acceptance-adaptive DE steps until the Gelman-Rubin factor over a
+    sliding 2000-generation window drops below 1.01 (or the cap).
+    """
+    import jax
+    import jax.numpy as jnp
+    from pyratbay_tpu.benchmark import make_flagship
+    from pyratbay_tpu.retrieval import sample_demc
+    from pyratbay_tpu.retrieval.batched import (
+        build_log_posterior_batched,
+    )
+
+    def gr_np(hist):
+        """Gelman-Rubin on host numpy (uploading the history to the
+        device for the jnp version costs seconds per check on the
+        tunnel)."""
+        ngen, nchains_, _ = hist.shape
+        cmeans = hist.mean(axis=0)
+        gmean = cmeans.mean(axis=0)
+        between = ngen / (nchains_ - 1) * ((cmeans - gmean)**2).sum(0)
+        within = hist.var(axis=0, ddof=1).mean(axis=0)
+        var_est = (ngen - 1) / ngen * within + between / ngen
+        return np.sqrt(var_est / np.where(within > 0, within, 1.0))
+
+    model, obs, ret, forward, p0 = make_flagship()
+    if obs.data is None:
+        band = np.asarray(jax.jit(forward)(jnp.asarray(p0))['bandflux'])
+        rng = np.random.default_rng(11)
+        obs.data = band + rng.normal(0.0, 3e-5, band.shape)
+        obs.uncert = np.full(band.shape, 3e-5)
+    from pyratbay_tpu.retrieval import build_log_posterior
+    log_post = build_log_posterior(model, obs, ret)
+    log_post_b = jax.jit(build_log_posterior_batched(model, obs, ret))
+
+    # Warm-started ensemble (tight around the truth): the bench
+    # measures stationary sampling throughput + convergence
+    # confirmation, not burn-in length from a cold prior:
+    rng = np.random.default_rng(12)
+    pstep = np.asarray(ret.pstep, float)
+    init = (
+        np.tile(np.asarray(p0), (nchains, 1))
+        + 0.05 * pstep * rng.standard_normal((nchains, len(p0)))
+    )
+    chains = jnp.asarray(np.clip(init, ret.pmin, ret.pmax))
+    hist = []
+    t_start = time.perf_counter()
+    t_sustained = None
+    gens = 0
+    grfactor = None
+    gamma = None
+    acc = None
+    for chunk in range(max_chunks):
+        results = sample_demc(
+            log_post,
+            chains,
+            nsamples=nchains * chunk_gens,
+            key=jax.random.PRNGKey(100 + chunk),
+            nchains=nchains,
+            pstep=ret.pstep, pmin=ret.pmin, pmax=ret.pmax,
+            log_post_batched=log_post_b,
+            adapt_gamma=True, target_acceptance=0.10,
+            gamma_init=gamma,
+        )
+        chains = results['chains']
+        gamma = results['gamma_final']
+        acc = float(np.asarray(results['acceptance_rate']))
+        hist.append(np.asarray(results['chain_history']))
+        gens += hist[-1].shape[0]
+        if t_sustained is None:
+            t_sustained = time.perf_counter()   # excl. first-chunk compile
+            gens_at_sustained = gens
+        hist = hist[-30:]  # sliding window: last <= 15k generations
+        window = np.concatenate(hist, axis=0)
+        grfactor = float(np.max(gr_np(window)))
+        if grfactor < gr_target and chunk >= 1:
+            break
+    wall = time.perf_counter() - t_start
+    sustained = time.perf_counter() - t_sustained
+    sus_gens = gens - gens_at_sustained
+    return {
+        'production_retrieval': {
+            'nchains': nchains,
+            'generations': gens,
+            'gelman_rubin_max': round(grfactor, 4),
+            'gr_window_gens': 30 * 500,
+            'acceptance_rate': (
+                None if acc is None else round(acc, 3)),
+            'converged': bool(grfactor < gr_target),
+            'wall_seconds': round(wall, 1),
+            'chain_evals_per_s': (
+                round(nchains * sus_gens / sustained, 1)
+                if sus_gens > 0 else None
+            ),
+        },
     }
 
 

@@ -8,6 +8,7 @@ import jax
 
 from ..observation import Observation
 from .params import RetrievalParams
+from .batched import build_log_posterior_batched
 from .forward import build_forward, build_log_posterior
 from .samplers import sample_demc, gelman_rubin
 
@@ -66,6 +67,9 @@ def run_retrieval(model, seed=0):
         )
     ret = RetrievalParams(model, obs)
     log_post = jax.jit(build_log_posterior(model, obs, ret))
+    # Ensemble hot path for the DEMC generations (falls back to
+    # vmap(log_post) semantics transparently; retrieval/batched.py):
+    log_post_b = jax.jit(build_log_posterior_batched(model, obs, ret))
 
     nchains = ret.nchains or 21
     nsamples = ret.nsamples or 1000
@@ -127,6 +131,7 @@ def run_retrieval(model, seed=0):
             checkpoint_dt=cfg.dt_retrieval_snapshot,
             resume=bool(cfg.resume),
             log=log,
+            log_post_batched=log_post_b,
         )
 
     model.ret = ret
