@@ -11,6 +11,8 @@ import jax
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
+import os
+
 import numpy as np
 
 from pyratbay_tpu.benchmark import make_flagship
@@ -32,9 +34,12 @@ log_post = jax.jit(build_log_posterior(model, obs, ret))
 print(f'log-posterior at truth: {float(log_post(truth)):.1f}')
 
 out = sample_demc(
-    log_post, truth, nsamples=40_000, nchains=64,
+    log_post, truth,
+    # PBT_EXAMPLE_FAST: CI smoke-run size (tests/test_examples.py):
+    nsamples=(20_000 if os.environ.get('PBT_EXAMPLE_FAST') else 40_000),
+    nchains=64,
     pstep=ret.pstep, pmin=ret.pmin, pmax=ret.pmax,
-    burnin=200,
+    burnin=(100 if os.environ.get('PBT_EXAMPLE_FAST') else 200),
 )
 post = np.asarray(out['posterior'])
 print(f'posterior draws: {post.shape}, '

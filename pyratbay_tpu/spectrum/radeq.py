@@ -311,20 +311,30 @@ def radiative_equilibrium(
 
         if convection:
             temp_new = temps[k + 1]
-            # Diatomic-dominated heat capacity (cp/R = 3.5 per mole);
-            # species-resolved cp needs the equilibrium-chemistry
-            # network (chemcat), which is gated separately:
-            cp = np.full(nlayers, 3.5) * pc.k / pc.amu
+            # Reference semantics (radiative_transfer.py:240-259): the
+            # convective flux is evaluated with the atmospheric state
+            # of the step that PRODUCED the fluxes -- densities,
+            # radius, and mean weight at temps[k] -- but the updated
+            # temperature profile temps[k+1].
+            temp_rt = temps[k]
+            if model.chem_model is not None and hasattr(
+                    model.chem_model, 'heat_capacity'):
+                cp_r = np.asarray(
+                    model.chem_model.heat_capacity(temp_rt))
+                cp = np.sum(cp_r * vmr, axis=1) * pc.k / pc.amu
+            else:
+                # Diatomic-dominated heat capacity (cp/R = 3.5):
+                cp = np.full(nlayers, 3.5) * pc.k / pc.amu
             mm = vmr @ mol_mass
-            dens = vmr * (press / temp_new)[:, None] * pc.bar / pc.k
+            dens = vmr * (press / temp_rt)[:, None] * pc.bar / pc.k
             rho = np.sum(dens * mol_mass, axis=1) * pc.amu
             radius = np.asarray(model.eval_radius(
-                jnp.asarray(temp_new), jnp.asarray(mm),
+                jnp.asarray(temp_rt), jnp.asarray(mm),
             ))
             gravity = pc.G * model.mplanet / radius**2
-            conv = convective_flux(
+            conv = np.asarray(convective_flux(
                 press * pc.bar, temp_new, cp, gravity, mm, rho,
-            )
+            ))
             if np.any(conv != 0.0):
                 diff_flux = np.ediff1d(q_net + conv, to_begin=0)
                 dt_scale = _update(k, diff_flux, dt_scale)

@@ -497,3 +497,155 @@ def test_ref_parity_eclipse_tmodel(ref_root, mock_exttable):
         },
         remove=['continuum_cross_sec', 'alkali', 'clouds'],
     )
+
+
+_POST_RADEQ_LONG = '''
+import pyratbay.spectrum as ps
+
+class _FixedChem:
+    def thermochemical_equilibrium(self, temp):
+        return result.atm.vmr
+
+result.od.rt_path = 'emission_two_stream'
+result.atm._dt_scale = np.tile(1.0e5, result.atm.nlayers)
+result.spec.specfile = None
+result.log.verb = -1
+tmin = np.amax(list(result.opacity.tmin.values()))
+tmax = np.amin(list(result.opacity.tmax.values()))
+temps = ps.radiative_equilibrium(
+    result.atm.press, np.atleast_2d(result.atm.temp), 120,
+    _FixedChem(), result.run, result.spec.wn, result.spec, result.atm,
+    False, tmin, tmax,
+)
+out['radeq_temps'] = np.asarray(temps)
+out['radeq_tminmax'] = np.array([tmin, tmax])
+'''
+
+_POST_RADEQ_CONVEC = '''
+import pyratbay.spectrum as ps
+
+class _FixedChem:
+    def thermochemical_equilibrium(self, temp):
+        return result.atm.vmr
+    def heat_capacity(self, temp):
+        return np.full(result.atm.vmr.shape, 3.5)
+
+result.od.rt_path = 'emission_two_stream'
+result.atm._dt_scale = np.tile(1.0e5, result.atm.nlayers)
+result.spec.specfile = None
+result.log.verb = -1
+tmin = np.amax(list(result.opacity.tmin.values()))
+tmax = np.amin(list(result.opacity.tmax.values()))
+# Steep (super-adiabatic below) initial profile so the convective
+# branch actually fires:
+press_bar = result.atm.press * (
+    1e-6 if result.atm.press.max() > 1e4 else 1.0)
+t_init = 600.0 * np.clip(press_bar, 1.0, None)**0.5
+t_init = np.clip(t_init, 600.0, 2800.0)
+temps = ps.radiative_equilibrium(
+    result.atm.press, np.atleast_2d(t_init), 30,
+    _FixedChem(), result.run, result.spec.wn, result.spec, result.atm,
+    True, tmin, tmax,
+)
+out['radeq_temps'] = np.asarray(temps)
+out['radeq_t_init'] = t_init
+out['radeq_tminmax'] = np.array([tmin, tmax])
+'''
+
+
+def test_ref_parity_radeq_converged(ref_root, mock_exttable):
+    """Reference radeq run TO CONVERGENCE (120 iterations) == this
+    package's scan loop: converged T(p) at 1e-3 and an equivalent
+    convergence iteration (first iteration with max |dT| < 1 K within
+    a factor of 1.5)."""
+    from pyratbay_tpu.model import Model
+    from pyratbay_tpu.spectrum.radeq import radiative_equilibrium
+
+    cfg = _write_cfg(
+        'radeq_conv', EMISSION.format(ref_root),
+        reset={
+            'logfile': '{ROOT}tests/outputs/radeq_conv.log',
+            'sampled_cross_sec': mock_exttable,
+            **MOCK_WL,
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+    ref = _ref_run('radeq_conv', cfg, post=_POST_RADEQ_LONG)
+
+    model = Model(cfg, root=ref_root)
+    model.rt_path = 'emission_two_stream'
+    tmin, tmax = ref['radeq_tminmax']
+    temps = radiative_equilibrium(
+        model, nsamples=120, tmin=tmin, tmax=tmax,
+    )
+    ref_temps = ref['radeq_temps']
+    assert temps.shape == ref_temps.shape
+
+    # Converged profile:
+    np.testing.assert_allclose(temps[-1], ref_temps[-1], rtol=1e-3)
+    # The loop must have actually converged (not just agreed):
+    dt_last = np.abs(np.diff(temps[-10:], axis=0)).max()
+    assert dt_last < 1.0, f'not converged: max dT {dt_last:.2f} K'
+
+    def iconverge(traj):
+        dt = np.abs(np.diff(traj, axis=0)).max(axis=1)
+        below = np.where(dt < 1.0)[0]
+        return int(below[0]) + 1 if len(below) else len(traj)
+
+    i_ref = iconverge(ref_temps)
+    i_new = iconverge(temps)
+    assert i_new <= 1.5 * i_ref + 5 and i_ref <= 1.5 * i_new + 5, (
+        f'convergence iterations differ: ref {i_ref}, new {i_new}'
+    )
+
+
+def test_ref_parity_radeq_convection(ref_root, mock_exttable):
+    """Reference radeq with the CONVECTIVE branch active (steep
+    super-adiabatic initial profile; radiative_transfer.py:240-273)
+    == this package's host loop with convection=True."""
+    from pyratbay_tpu.model import Model
+    from pyratbay_tpu.spectrum.convection import convective_flux
+    from pyratbay_tpu.spectrum.radeq import radiative_equilibrium
+    from pyratbay_tpu import constants as pc
+
+    cfg = _write_cfg(
+        'radeq_cvc', EMISSION.format(ref_root),
+        reset={
+            'logfile': '{ROOT}tests/outputs/radeq_cvc.log',
+            'sampled_cross_sec': mock_exttable,
+            **MOCK_WL,
+        },
+        remove=['continuum_cross_sec', 'alkali', 'clouds'],
+    )
+    ref = _ref_run('radeq_cvc', cfg, post=_POST_RADEQ_CONVEC)
+    t_init = np.asarray(ref['radeq_t_init'])
+
+    model = Model(cfg, root=ref_root)
+    model.rt_path = 'emission_two_stream'
+
+    # The initial profile must actually be super-adiabatic somewhere,
+    # or this test exercises nothing:
+    press = np.asarray(model.press) * pc.bar
+    vmr = np.asarray(model.base_vmr)
+    mm = vmr @ np.asarray(model.mol_mass)
+    cp = np.full(model.nlayers, 3.5) * pc.k / pc.amu
+    rho = np.sum(
+        vmr * (press / t_init / pc.k)[:, None]
+        * np.asarray(model.mol_mass), axis=1,
+    ) * pc.amu
+    conv0 = np.asarray(convective_flux(
+        press, t_init, cp, np.full(model.nlayers, 1.0e3), mm, rho,
+    ))
+    assert np.any(conv0 > 0), 'initial profile is not super-adiabatic'
+
+    tmin, tmax = ref['radeq_tminmax']
+    temps = radiative_equilibrium(
+        model, nsamples=30, convection=True, tmin=tmin, tmax=tmax,
+        radeq_temps=np.atleast_2d(t_init),
+    )
+    np.testing.assert_allclose(
+        temps[1], ref['radeq_temps'][1], rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        temps, ref['radeq_temps'], rtol=1e-3,
+    )
