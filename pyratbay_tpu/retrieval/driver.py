@@ -106,14 +106,14 @@ def run_retrieval(model, seed=0):
     )
     if ret.sampler == 'multinest':
         # Be explicit about what actually runs: not pymultinest, but
-        # this package's device-batched nested sampler (no mode
-        # clustering; logz_err from the information heuristic):
+        # this package's device-batched nested sampler:
         log.msg(
             "sampler = multinest runs the native batched "
             "nested sampler (retrieval/nested.py): MultiNest-style "
             "evidence + posterior from a live-point ensemble on "
-            "device; logz_err is an information-based estimate and "
-            "there is no mode clustering."
+            "device, with friends-of-friends mode separation "
+            "(per-mode evidences in results['mode_logz']) and a "
+            "Monte-Carlo (volume-resampling) logz_err."
         )
         results = _run_nested(model, obs, ret, log_post, seed)
     else:

@@ -24,7 +24,102 @@ import jax
 import jax.numpy as jnp
 from jax import lax, random
 
-__all__ = ['sample_nested']
+__all__ = ['sample_nested', 'identify_modes']
+
+
+def _bootstrap_logz_err(dead_logl, live_logl, nlive, batch, n_use,
+                        n_boot=200, seed=0):
+    """Monte-Carlo logZ uncertainty from the stochastic prior-volume
+    shrinkage (the resampling estimate MultiNest-style post-processing
+    relies on, instead of the information heuristic): each removal of
+    the k-th point of a batch compresses the volume by t ~ Beta(m, 1)
+    with m = nlive - k active points, so -ln t ~ Exp(m).  Redrawing
+    every compression factor and re-accumulating Z samples the full
+    logZ distribution of the run."""
+    rng = np.random.default_rng(seed)
+    niter = n_use
+    m = np.tile(
+        [nlive - k for k in range(batch)], -(-niter // batch),
+    )[:niter].astype(float)
+    logz_samples = np.empty(n_boot)
+    for b in range(n_boot):
+        dlog_x = rng.exponential(1.0 / m)
+        log_x = -np.cumsum(dlog_x)
+        log_w = np.log(-np.diff(
+            np.exp(np.concatenate([[0.0], log_x])),
+        ))
+        x_rem = np.exp(log_x[-1]) if niter else 1.0
+        live_logw = np.full(len(live_logl), np.log(x_rem / len(live_logl)))
+        log_zw = np.concatenate([
+            log_w + dead_logl[:niter], live_logw + live_logl,
+        ])
+        logz_samples[b] = np.logaddexp.reduce(log_zw)
+    return float(np.std(logz_samples))
+
+
+def identify_modes(samples, weights, link_scale=0.3):
+    """Friends-of-friends mode separation of a weighted posterior
+    (the capability of MultiNest's live mode clustering,
+    reference tools/retrieval_tools.py:233-383, applied to the
+    finished run): points within `link_scale` weighted-std units of
+    each other join the same mode.
+
+    Returns
+    -------
+    labels [n] int -- mode index per sample (weight-ordered: mode 0
+        carries the most posterior mass).
+    """
+    samples = np.asarray(samples, float)
+    weights = np.asarray(weights, float)
+    n, ndim = samples.shape
+    wsum = weights.sum()
+    mean = (weights[:, None] * samples).sum(0) / wsum
+    std = np.sqrt(
+        (weights[:, None] * (samples - mean)**2).sum(0) / wsum,
+    )
+    std = np.where(std > 0, std, 1.0)
+    x = samples / std
+    eps2 = (link_scale * ndim**0.5)**2
+
+    # Cluster only the points carrying the posterior mass (99.9%):
+    # early (prior-volume) dead points otherwise bridge separated
+    # modes into one percolating FoF group.  The negligible-weight
+    # remainder joins its nearest cluster afterwards.
+    order_w = np.argsort(-weights)
+    cum = np.cumsum(weights[order_w]) / wsum
+    n_core = int(np.searchsorted(cum, 0.999)) + 1
+    core = order_w[:n_core]
+    in_core = np.zeros(n, bool)
+    in_core[core] = True
+
+    labels = np.full(n, -1, int)
+    mode = 0
+    for seed_i in core:
+        if labels[seed_i] >= 0:
+            continue
+        stack = [seed_i]
+        labels[seed_i] = mode
+        while stack:
+            i = stack.pop()
+            d2 = np.sum((x - x[i])**2, axis=1)
+            hit = np.where((d2 < eps2) & (labels < 0) & in_core)[0]
+            labels[hit] = mode
+            stack.extend(hit.tolist())
+        mode += 1
+    # Attach the mass-less tail to the nearest core point's mode:
+    tail = np.where(~in_core)[0]
+    if len(tail) and len(core):
+        for i in tail:
+            d2 = np.sum((x[core] - x[i])**2, axis=1)
+            labels[i] = labels[core[np.argmin(d2)]]
+    # Order modes by posterior mass:
+    masses = np.array([
+        weights[labels == k].sum() for k in range(mode)
+    ])
+    order = np.argsort(-masses)
+    remap = np.empty(mode, int)
+    remap[order] = np.arange(mode)
+    return remap[labels]
 
 
 def sample_nested(
@@ -91,10 +186,14 @@ def sample_nested(
         cov = jnp.atleast_2d(cov)
         chol = jnp.linalg.cholesky(cov)
 
-        def walk_step(carry, k):
+        def walk_step(carry, inputs):
+            k, scale = inputs
             u, logl = carry
             k1, k2 = random.split(k)
-            step = gamma * random.normal(k1, (batch, ndim)) @ chol.T
+            step = (
+                scale * gamma * random.normal(k1, (batch, ndim))
+                @ chol.T
+            )
             prop = jnp.clip(u + step, 1e-10, 1.0 - 1e-10)
             logl_prop = v_loglike(prop)
             accept = logl_prop > logl_star
@@ -102,9 +201,17 @@ def sample_nested(
             logl = jnp.where(accept, logl_prop, logl)
             return (u, logl), jnp.mean(accept)
 
+        # Laddered step scales: full-covariance steps exchange walkers
+        # between separated modes, 0.3x/0.1x steps keep acceptance up
+        # INSIDE tight modes so narrow peaks hold their live-point
+        # share (the failure mode MultiNest's clustering guards
+        # against):
         keys = random.split(k_walk, nsteps_walk)
+        scales = jnp.asarray(
+            np.tile([1.0, 0.3, 0.1], -(-nsteps_walk // 3))[:nsteps_walk]
+        )
         (u_new, logl_new), accepts = lax.scan(
-            walk_step, (u0, logl0), keys,
+            walk_step, (u0, logl0), (keys, scales),
         )
 
         new_live_u = live_u.at[idead].set(u_new)
@@ -156,17 +263,30 @@ def sample_nested(
 
     log_zw_all = all_logw + all_logl
     logz = float(np.logaddexp.reduce(log_zw_all))
-    # Information-based uncertainty estimate:
     weights = np.exp(log_zw_all - logz)
+    # logZ uncertainty: Monte-Carlo over the stochastic volume
+    # compression (primary), information heuristic kept for reference:
+    logz_err = _bootstrap_logz_err(
+        dead_logl, live_logl_np, nlive, batch, n_use,
+    )
     ok = weights > 0
     info = float(np.sum(weights[ok] * (all_logl[ok] - logz)))
-    logz_err = float(np.sqrt(max(info, 0.0) / nlive))
+    logz_err_info = float(np.sqrt(max(info, 0.0) / nlive))
 
     samples = np.asarray(
         jax.jit(jax.vmap(prior_transform))(jnp.asarray(all_u))
     )
     from .posterior import weighted_to_equal
     posterior = weighted_to_equal(samples, weights)
+
+    # Mode separation + per-mode evidences (MultiNest's multimodal
+    # output contract):
+    modes = identify_modes(samples, weights)
+    nmodes = int(modes.max()) + 1
+    mode_logz = np.array([
+        float(np.logaddexp.reduce(log_zw_all[modes == k]))
+        for k in range(nmodes)
+    ])
 
     return {
         'samples': samples,
@@ -175,7 +295,10 @@ def sample_nested(
         'weights': weights,
         'logz': logz,
         'logz_err': logz_err,
+        'logz_err_info': logz_err_info,
         'posterior': posterior,
+        'modes': modes,
+        'mode_logz': mode_logz,
         'n_iter': n_use,
         'efficiency': float(np.mean(np.asarray(acc))),
     }

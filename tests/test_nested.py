@@ -79,3 +79,78 @@ def test_nested_bimodal_posterior():
     # fully inside the unit square):
     logz_true = np.log(2 * np.pi * sigma**2)
     assert abs(results['logz'] - logz_true) < 5 * results['logz_err'] + 0.2
+
+
+def test_nested_three_mode_mixture():
+    """Analytic 3-mode Gaussian mixture with unequal weights: the
+    covariance-walk sampler must find all three modes, recover the
+    total evidence within the (bootstrap) logz_err, and apportion the
+    per-mode evidences to the true component weights."""
+    import jax.numpy as jnp
+    from pyratbay_tpu.retrieval.nested import sample_nested
+
+    ndim = 2
+    sigma = 0.02
+    centers = np.array([[0.2, 0.2], [0.5, 0.8], [0.85, 0.35]])
+    comp_w = np.array([0.5, 0.3, 0.2])
+
+    def log_like(theta):
+        d2 = jnp.sum((theta[None, :] - centers)**2, axis=1)
+        comps = (
+            jnp.log(jnp.asarray(comp_w))
+            - d2 / (2 * sigma**2)
+            - ndim * jnp.log(sigma * jnp.sqrt(2 * jnp.pi))
+        )
+        return jax.scipy.special.logsumexp(comps)
+
+    out = sample_nested(
+        log_like, lambda u: u, ndim, nlive=600,
+        key=jax.random.PRNGKey(3), nsteps_walk=30,
+    )
+    # Z = integral over the unit square ~= 1 (all mass inside):
+    assert abs(out['logz'] - 0.0) < max(3 * out['logz_err'], 0.15), (
+        out['logz'], out['logz_err'])
+    assert 0 < out['logz_err'] < 0.2
+
+    # Three modes found, posterior mass near the component weights:
+    nmodes = out['mode_logz'].size
+    assert nmodes >= 3, f'found {nmodes} modes'
+    mode_mass = np.exp(out['mode_logz'] - out['logz'])
+    main3 = np.sort(mode_mass)[::-1][:3]
+    np.testing.assert_allclose(
+        np.sort(main3)[::-1], comp_w, atol=0.07,
+    )
+    # Spurious modes (if any) carry negligible mass:
+    assert mode_mass[3:].sum() < 0.02
+
+
+def test_nested_bootstrap_err_calibrated():
+    """The bootstrap logz_err must track the actual run-to-run logZ
+    scatter (within a factor), on a unimodal Gaussian with known Z."""
+    import jax.numpy as jnp
+    from pyratbay_tpu.retrieval.nested import sample_nested
+
+    ndim = 2
+    sigma = 0.05
+    center = jnp.asarray([0.6, 0.4])
+
+    def log_like(theta):
+        d2 = jnp.sum((theta - center)**2)
+        return -d2 / (2 * sigma**2) - ndim * jnp.log(
+            sigma * jnp.sqrt(2 * jnp.pi))
+
+    logzs, errs = [], []
+    for seed in range(4):
+        out = sample_nested(
+            log_like, lambda u: u, ndim, nlive=300,
+            key=jax.random.PRNGKey(seed), nsteps_walk=20,
+        )
+        logzs.append(out['logz'])
+        errs.append(out['logz_err'])
+    scatter = np.std(logzs)
+    err = np.mean(errs)
+    # True logZ ~= 0; every run within 4 sigma of it, and the quoted
+    # error within a factor ~4 of the observed scatter:
+    assert np.all(np.abs(logzs) < 4 * np.asarray(errs) + 0.1)
+    assert err < 4 * scatter + 0.1
+    assert scatter < 4 * err + 0.1
