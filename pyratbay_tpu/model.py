@@ -1391,7 +1391,7 @@ class Model:
             'Pressure range: {:.2e} -- {:.2e} bar ({:d} layers)',
             float(self.press[0]), float(self.press[-1]), self.nlayers,
         )
-        fw.write('Species: {}', self.species)
+        fw.write('Species: {}', [str(s) for s in self.species])
         fw.write('Opacity models:')
         for mtype, model, _ in self.opacity_models:
             tmin = self.tmin.get(mtype)

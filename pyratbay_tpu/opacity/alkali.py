@@ -119,7 +119,7 @@ class VanderWaals:
         fw = Formatted_Write()
         fw.write('Alkali van der Waals opacity: {}', self.name)
         fw.write('Species: {}', self.species)
-        fw.write('Line centers (cm-1): {}', list(np.round(self.wn0, 3)))
+        fw.write('Line centers (cm-1): {}', [float(w) for w in np.round(self.wn0, 3)])
         fw.write('Detuning cutoff (cutoff): {}', self.cutoff)
         return fw.text
 
