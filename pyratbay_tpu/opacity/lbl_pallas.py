@@ -95,22 +95,38 @@ def _wing_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, c1_ref, y2_ref,
     mask = (adwn > margin) & (adwn <= cutoff)
     contrib = jnp.where(mask, c1 * u * s, 0.0)
     if multispec:
-        # Species split as an MXU contraction with the static one-hot
-        # [nspec_pad, lchunk]: -> [nspec_pad, tile], flattened.
-        part = jax.lax.dot_general(
-            oh_ref[0], contrib, (((1,), (1,)), ((), ())),
-            preferred_element_type=contrib.dtype,
-        ).reshape(-1)
+        # Species split via per-species masked lane-reduces into a
+        # [nsp, tile] output block.  (A dot_general against the
+        # one-hot followed by reshape(-1) only works in the
+        # interpreter: Mosaic cannot merge the sublane axis into
+        # lanes, so the flattened-output formulation never compiled
+        # on hardware -- round-4 finding.)
+        oh = oh_ref[0]                      # [nsp, lchunk]
+        nsp = oh.shape[0]
+        parts = [
+            jnp.sum(contrib * oh[si][None, :], axis=1)
+            for si in range(nsp)
+        ]
+
+        @pl.when(j == 0)
+        def _():
+            for si in range(nsp):
+                out_ref[0, 0, si, :] = parts[si]
+
+        @pl.when(j > 0)
+        def _():
+            for si in range(nsp):
+                out_ref[0, 0, si, :] = out_ref[0, 0, si, :] + parts[si]
     else:
         part = jnp.sum(contrib, axis=1)   # -> [tile]
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[0, 0, 0, :] = part
+        @pl.when(j == 0)
+        def _():
+            out_ref[0, 0, 0, :] = part
 
-    @pl.when(j > 0)
-    def _():
-        out_ref[0, 0, 0, :] = out_ref[0, 0, 0, :] + part
+        @pl.when(j > 0)
+        def _():
+            out_ref[0, 0, 0, :] = out_ref[0, 0, 0, :] + part
 
 
 @functools.partial(
@@ -218,11 +234,11 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, 1, nsp * tile), lambda b, i, j: (b, i, 0, 0),
+            (1, 1, nsp, tile), lambda b, i, j: (b, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (ncell, ntiles, 1, nsp * tile), dtype),
+            (ncell, ntiles, nsp, tile), dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=(22 + 2 * nsp) * ncell * ntiles * lpad * tile,
@@ -236,9 +252,7 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad,
     )(*operands)
     if multispec:
         # [ncell, ntiles, nsp, tile] -> [ncell, nsp, ntiles, tile]:
-        return jnp.moveaxis(
-            out.reshape(ncell, ntiles, nsp, tile), 2, 1,
-        )
+        return jnp.moveaxis(out, 2, 1)
     return out.reshape(ncell, ntiles, tile)
 
 
@@ -271,17 +285,17 @@ def _core_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, scale_ref, y_ref,
     voigt = wofz_real(x, yy)
     contrib = jnp.where(jnp.abs(dwn) <= margin, voigt * scale, 0.0)
     if multispec:
-        # One-hot rows interleave (tile, species); the species split
-        # cannot be one matmul here because line windows differ per
-        # tile row -- select per species and lane-reduce (nsp small):
-        oh = oh_ref[0]                 # [group*nsp, lpad]
+        # Per-species masked lane-reduces into a [nsp, npts] output
+        # block (flattened/interleaved formulations need sublane-to-
+        # lane reshapes or sub-128 lane slices, neither of which
+        # Mosaic compiles -- round-4 finding; the interpreter hid it).
+        oh = oh_ref[0]                 # [nsp*group, lpad], species-major
         nsp = oh.shape[0] // group
-        oh = oh.reshape(group, nsp, oh.shape[-1])
-        parts = [
-            jnp.sum(contrib * rep(oh[:, s, :]), axis=1)
-            for s in range(nsp)
-        ]
-        out_ref[0, 0, 0, :] = jnp.concatenate(parts)
+        oh3 = oh.reshape(nsp, group, oh.shape[-1])
+        for si in range(nsp):
+            out_ref[0, 0, si, :] = jnp.sum(
+                contrib * rep(oh3[si]), axis=1,
+            )
     else:
         out_ref[0, 0, 0, :] = jnp.sum(contrib, axis=1)
 
@@ -385,10 +399,14 @@ def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad,
                 cell_spec, cell_spec, cell_spec]
     operands = [wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad]
     if multispec:
-        # Interleave (tile, species) rows: [ngroup, group*nsp, lpad]:
-        oh = spec_onehot.astype(dtype).reshape(
-            ngroup, group * nsp, lpad,
-        )
+        # Species-major one-hot rows [ngroup, nsp*group, lpad] (the
+        # kernel contracts all of them in one dot and selects the
+        # per-row group block):
+        oh = jnp.swapaxes(
+            spec_onehot.astype(dtype).reshape(
+                ngroup, group, nsp, lpad,
+            ), 1, 2,
+        ).reshape(ngroup, nsp * group, lpad)
         in_specs.append(pl.BlockSpec(
             (1, group * nsp, lpad), lambda b, g: (g, 0, 0),
             memory_space=pltpu.VMEM,
@@ -399,11 +417,11 @@ def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad,
         grid=(ncell, ngroup),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, 1, nsp * npts), lambda b, g: (b, g, 0, 0),
+            (1, 1, nsp, npts), lambda b, g: (b, g, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (ncell, ngroup, 1, nsp * npts), dtype),
+            (ncell, ngroup, nsp, npts), dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=(250 + 2 * nsp) * ncell * ngroup * npts * lpad,
@@ -416,7 +434,7 @@ def core_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, scale, y, inv_ad,
         ),
     )(*operands)
     if multispec:
-        # [ncell, ngroup, nsp, group, tile_core] ->
+        # [ncell, ngroup, nsp, group*tile_core] ->
         # [ncell, nsp, ntiles, tile_core]:
         out = out.reshape(ncell, ngroup, nsp, group, tile_core)
         out = jnp.moveaxis(out, 2, 1).reshape(

@@ -8,6 +8,9 @@ import numpy as np
 from . import constants as pc
 
 __all__ = [
+    'Theme',
+    'THEMES',
+    'get_theme',
     'spectrum',
     'temperature',
     'abundance',
@@ -24,6 +27,51 @@ def _mpl():
     return plt
 
 
+class Theme:
+    """Color theme for posterior/temperature figures (the capability
+    of mc3's plot themes, which the reference passes around as
+    `theme`; reference plots.py:92-718 + mc3.plots)."""
+
+    def __init__(self, color, light=None, dark=None):
+        import matplotlib.colors as mc
+        self.color = color
+        rgb = np.array(mc.to_rgb(color))
+        self.light_color = light if light is not None else tuple(
+            0.35 * rgb + 0.65)
+        self.dark_color = dark if dark is not None else tuple(0.6 * rgb)
+        self.colormap = self._make_cmap(rgb)
+
+    def _make_cmap(self, rgb):
+        from matplotlib.colors import LinearSegmentedColormap
+        return LinearSegmentedColormap.from_list(
+            'theme', [(1.0, 1.0, 1.0), tuple(rgb), self.dark_color],
+        )
+
+
+THEMES = {
+    name: Theme(color) for name, color in [
+        ('blue', 'xkcd:blue'),
+        ('green', 'xkcd:green'),
+        ('orange', 'darkorange'),
+        ('purple', 'xkcd:violet'),
+        ('red', 'xkcd:red'),
+        ('black', '0.3'),
+        ('indigo', 'xkcd:indigo'),
+    ]
+}
+
+
+def get_theme(theme):
+    """Resolve a theme name / color string / Theme instance."""
+    if isinstance(theme, Theme):
+        return theme
+    if theme is None:
+        return THEMES['blue']
+    if theme in THEMES:
+        return THEMES[theme]
+    return Theme(theme)
+
+
 def alphatize(colors, alpha, background='white'):
     """Blend colors toward a background as if drawn with given alpha."""
     import matplotlib.colors as mc
@@ -38,24 +86,41 @@ def alphatize(colors, alpha, background='white'):
     return out[0] if single else out
 
 
+_DEPTH_UNITS = {'none': 1.0, 'percent': 100.0, 'ppt': 1e3, 'ppm': 1e6}
+
+
 def spectrum(
         spectrum, wl, rt_path='transit',
         data=None, uncert=None, band_wl=None, bandflux=None,
+        bands=None, units=None, theme=None,
         logxticks=None, gaussbin=2.0, yran=None, filename=None, ax=None,
     ):
-    """Plot a transmission/emission/eclipse spectrum (+ data points)."""
+    """Plot a transmission/emission/eclipse spectrum (+ data points).
+
+    bands: optional list of (wl, response) passband curves, drawn as
+        shaded profiles along the bottom axis (reference
+        plots.py:92-298 band-depth overlay).
+    units: depth units 'none'/'percent'/'ppt'/'ppm' (defaults:
+        percent for transit, ppm for eclipse).
+    theme: Theme/name/color for the model curve.
+    """
     from scipy.ndimage import gaussian_filter1d
     plt = _mpl()
+    thm = get_theme(theme)
     if ax is None:
         fig, ax = plt.subplots(figsize=(8, 4.5), constrained_layout=True)
     if rt_path == 'transit':
-        scale, label = 100.0, 'Transit depth (Rp/Rs)$^2$ (%)'
+        units = units or 'percent'
+        scale = _DEPTH_UNITS[units]
+        label = f'Transit depth (Rp/Rs)$^2$ ({units})'
     elif rt_path == 'eclipse':
-        scale, label = 1e6, 'Eclipse depth Fp/Fs (ppm)'
+        units = units or 'ppm'
+        scale = _DEPTH_UNITS[units]
+        label = f'Eclipse depth Fp/Fs ({units})'
     else:
         scale, label = 1.0, r'Flux (erg s$^{-1}$ cm$^{-2}$ cm)'
     smooth = gaussian_filter1d(spectrum, gaussbin) if gaussbin else spectrum
-    ax.plot(wl, scale * np.asarray(smooth), color='xkcd:blue', lw=1.0,
+    ax.plot(wl, scale * np.asarray(smooth), color=thm.color, lw=1.0,
             label='model')
     if bandflux is not None and band_wl is not None:
         ax.plot(band_wl, scale * np.asarray(bandflux), 'o', ms=4,
@@ -75,6 +140,19 @@ def spectrum(
         ax.set_ylim(yran)
     ax.set_xlabel('Wavelength (um)')
     ax.set_ylabel(label)
+    if bands is not None:
+        # Filter response profiles along the bottom (reference-style
+        # band overlay): scaled to 12% of the axis height.
+        ylim = ax.get_ylim()
+        height = 0.12 * (ylim[1] - ylim[0])
+        for band in bands:
+            bwl, resp = np.asarray(band[0]), np.asarray(band[1])
+            resp = resp / resp.max() if resp.max() > 0 else resp
+            ax.fill_between(
+                bwl, ylim[0], ylim[0] + height * resp,
+                color=thm.light_color, alpha=0.7, lw=0.0, zorder=0,
+            )
+        ax.set_ylim(ylim)
     ax.legend(loc='best', fontsize=9)
     if filename is not None:
         ax.figure.savefig(filename, dpi=150)
@@ -83,7 +161,7 @@ def spectrum(
 
 def temperature(
         pressure, profiles=None, labels=None, bounds=None,
-        filename=None, ax=None,
+        theme=None, filename=None, ax=None,
     ):
     """Plot temperature profiles (with optional credible-region bounds).
 
@@ -99,14 +177,15 @@ def temperature(
             label = labels[i] if labels is not None else None
             ax.plot(prof, pressure, lw=1.5, label=label)
     if bounds is not None and len(bounds) >= 2:
+        thm = get_theme(theme)
         ax.fill_betweenx(
-            pressure, bounds[0], bounds[1], alpha=0.35,
-            color='royalblue',
+            pressure, bounds[0], bounds[1], alpha=0.45,
+            color=thm.light_color, lw=0,
         )
         if len(bounds) == 4:
             ax.fill_betweenx(
-                pressure, bounds[2], bounds[3], alpha=0.2,
-                color='royalblue',
+                pressure, bounds[2], bounds[3], alpha=0.3,
+                color=thm.light_color, lw=0,
             )
     ax.set_yscale('log')
     ax.invert_yaxis()
@@ -168,10 +247,22 @@ def contribution(
 
 def posteriors(
         posterior, pnames=None, bestp=None, nbins=30,
+        theme=None, quantiles=(0.159, 0.841), smooth=1.2,
         filename=None,
     ):
-    """Corner-style posterior plot: marginal histograms + pairwise maps."""
+    """Corner-style posterior pair grid (reference plots.py:719-960 +
+    mc3 pairwise styling): themed marginal histograms with
+    credible-interval markers on the diagonal, smoothed filled-contour
+    density maps below it.
+
+    quantiles: marginal interval edges drawn as dashed lines (defaults
+        to the central 68.3%); None disables.
+    smooth: gaussian smoothing (in bins) of the 2D histograms before
+        contouring; 0 falls back to raw hist2d cells.
+    """
+    from scipy.ndimage import gaussian_filter
     plt = _mpl()
+    thm = get_theme(theme)
     posterior = np.asarray(posterior)
     npars = posterior.shape[1]
     fig, axes = plt.subplots(
@@ -186,15 +277,33 @@ def posteriors(
                 continue
             if i == j:
                 ax.hist(
-                    posterior[:, i], bins=nbins, color='royalblue',
-                    density=True,
+                    posterior[:, i], bins=nbins, color=thm.light_color,
+                    edgecolor=thm.color, density=True,
                 )
+                if quantiles is not None:
+                    for q in quantiles:
+                        ax.axvline(
+                            np.quantile(posterior[:, i], q),
+                            color=thm.dark_color, lw=0.9, ls='--',
+                        )
+                    ax.axvline(
+                        np.median(posterior[:, i]),
+                        color=thm.dark_color, lw=1.1,
+                    )
                 if bestp is not None:
                     ax.axvline(bestp[i], color='crimson', lw=1.2)
             else:
-                ax.hist2d(
+                hist, xe, ye = np.histogram2d(
                     posterior[:, j], posterior[:, i], bins=nbins,
-                    cmap='Blues',
+                )
+                if smooth:
+                    hist = gaussian_filter(hist, smooth)
+                xc = 0.5 * (xe[:-1] + xe[1:])
+                yc = 0.5 * (ye[:-1] + ye[1:])
+                levels = np.linspace(0.0, hist.max() or 1.0, 9)[1:]
+                ax.contourf(
+                    xc, yc, hist.T, levels=levels, cmap=thm.colormap,
+                    extend='min',
                 )
                 if bestp is not None:
                     ax.plot(bestp[j], bestp[i], '+', color='crimson')

@@ -100,3 +100,52 @@ def test_plot_posteriors_pairgrid(outdir):
 def test_alphatize():
     out = plots.alphatize(['red', 'blue'], alpha=0.5)
     assert len(out) == 2
+
+
+def test_plot_themes_registry():
+    from pyratbay_tpu import plots
+    for name in ('blue', 'green', 'orange', 'red', 'black', 'indigo'):
+        thm = plots.get_theme(name)
+        assert thm.colormap is not None
+        assert len(thm.light_color) == 3
+    # Arbitrary colors and passthrough also resolve:
+    assert plots.get_theme('crimson').color == 'crimson'
+    thm = plots.THEMES['blue']
+    assert plots.get_theme(thm) is thm
+    assert plots.get_theme(None) is plots.THEMES['blue']
+
+
+def test_plot_spectrum_band_overlay(tmp_path):
+    from pyratbay_tpu import plots
+    rng = np.random.default_rng(0)
+    wl = np.linspace(1.1, 1.7, 200)
+    spec = 0.0065 + 1e-4 * rng.standard_normal(200)
+    bands = [
+        (np.linspace(c - 0.02, c + 0.02, 30),
+         np.exp(-np.linspace(-2, 2, 30)**2))
+        for c in (1.2, 1.3, 1.4)
+    ]
+    fname = str(tmp_path / 'spec_bands.png')
+    ax = plots.spectrum(
+        spec, wl, rt_path='transit', bands=bands, units='ppm',
+        theme='orange', filename=fname,
+    )
+    assert os.path.getsize(fname) > 0
+    assert 'ppm' in ax.get_ylabel()
+
+
+def test_plot_posteriors_themed(tmp_path):
+    from pyratbay_tpu import plots
+    rng = np.random.default_rng(1)
+    post = rng.multivariate_normal(
+        [0.0, 1.0, -2.0],
+        [[1.0, 0.5, 0.0], [0.5, 1.0, 0.2], [0.0, 0.2, 0.5]],
+        size=3000,
+    )
+    fname = str(tmp_path / 'post_themed.png')
+    axes = plots.posteriors(
+        post, pnames=['a', 'b', 'c'], bestp=[0.0, 1.0, -2.0],
+        theme='green', filename=fname,
+    )
+    assert os.path.getsize(fname) > 0
+    assert axes.shape == (3, 3)
