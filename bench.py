@@ -83,7 +83,7 @@ def main():
     from pyratbay_tpu.benchmark import make_flagship, reference_c_baseline
 
     batch = int(os.environ.get('PBT_BENCH_BATCH', 512))
-    n_iter = int(os.environ.get('PBT_BENCH_ITER', 10))
+    n_iter = int(os.environ.get('PBT_BENCH_ITER', 25))
 
     _stage('flagship: build + compile')
     model, obs, ret, forward, p0 = make_flagship()
@@ -444,7 +444,7 @@ def _scaling_efficiency(device_counts=(1, 2, 4, 8)):
     except AttributeError:
         physical = os.cpu_count()
 
-    def block(counts, res_of_n):
+    def block(counts, res_of_n, weak=False):
         times, eff, shard_pts = {}, {}, {}
         for n in counts:
             r = _probe_run(n, resolution=res_of_n(n))
@@ -458,7 +458,13 @@ def _scaling_efficiency(device_counts=(1, 2, 4, 8)):
             for n in counts:
                 t_n = times.get(str(n))
                 if isinstance(t_n, float):
-                    eff[str(n)] = round(base / t_n, 3)
+                    # Strong (fixed work): ideal keeps t constant ->
+                    # t1/tN.  Weak (work ~ N on the SAME oversubscribed
+                    # host): ideal processes N units in N*t1 ->
+                    # N*t1/tN (a plain t1/tN would conflate host
+                    # throughput with sharding overhead).
+                    ideal = base * n if weak else base
+                    eff[str(n)] = round(ideal / t_n, 3)
         return {
             'sec_per_batch': times,
             'efficiency_vs_1dev': eff,
@@ -471,7 +477,7 @@ def _scaling_efficiency(device_counts=(1, 2, 4, 8)):
         'host_affinity_cpus': physical,
         'strong_R115k': block(device_counts, lambda n: 115000.0),
         'weak_R15k_per_dev': block(
-            device_counts, lambda n: 15000.0 * n),
+            device_counts, lambda n: 15000.0 * n, weak=True),
     }
     try:
         out['multiprocess_2x4'] = _multiproc_throughput()
@@ -598,7 +604,7 @@ def _production_table(nspec=5, ntemp=24, nlayers=51, nwave=200_000):
     }
 
 
-def _production_retrieval(nchains=1024, chunk_gens=500, max_chunks=40,
+def _production_retrieval(nchains=1024, chunk_gens=500, max_chunks=70,
                           gr_target=1.01):
     """End-to-end retrieval at production ensemble size: 1024 DEMC
     chains on the flagship model against WFC3-grade synthesized
@@ -668,16 +674,22 @@ def _production_retrieval(nchains=1024, chunk_gens=500, max_chunks=40,
         chains = results['chains']
         gamma = results['gamma_final']
         acc = float(np.asarray(results['acceptance_rate']))
-        hist.append(np.asarray(results['chain_history']))
-        gens += hist[-1].shape[0]
+        gens += np.asarray(results['chain_history']).shape[0]
+        # GR window: every 5th generation of the last <= 30k (the
+        # sliding-window GR floor is ~1 + c*tau/window; the previous
+        # 15k window bottomed out at ~1.016 with tau ~ 1e2):
+        hist.append(np.asarray(results['chain_history'])[::5])
         if t_sustained is None:
             t_sustained = time.perf_counter()   # excl. first-chunk compile
             gens_at_sustained = gens
-        hist = hist[-30:]  # sliding window: last <= 15k generations
+        hist = hist[-60:]
         window = np.concatenate(hist, axis=0)
         grfactor = float(np.max(gr_np(window)))
         if grfactor < gr_target and chunk >= 1:
             break
+        budget = float(os.environ.get('PBT_BENCH_RET_BUDGET', 540.0))
+        if time.perf_counter() - t_start > budget:
+            break  # honest cap: 'converged' stays False
     wall = time.perf_counter() - t_start
     sustained = time.perf_counter() - t_sustained
     sus_gens = gens - gens_at_sustained
@@ -686,7 +698,8 @@ def _production_retrieval(nchains=1024, chunk_gens=500, max_chunks=40,
             'nchains': nchains,
             'generations': gens,
             'gelman_rubin_max': round(grfactor, 4),
-            'gr_window_gens': 30 * 500,
+            'gr_window_gens': 60 * 500,
+            'gr_window_thin': 5,
             'acceptance_rate': (
                 None if acc is None else round(acc, 3)),
             'converged': bool(grfactor < gr_target),

@@ -75,7 +75,6 @@ def build_forward_batched(model, obs=None, ret=None):
     state = forward.state
     nlayers = model.nlayers
     nwave = model.nwave
-    rt_fused = None  # resolved at trace time (backend-dependent)
 
     tmin_bound = max([model.tmin[k] for k in model.tmin], default=-np.inf)
     tmax_bound = min([model.tmax[k] for k in model.tmax], default=np.inf)
