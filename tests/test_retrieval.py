@@ -218,3 +218,27 @@ def test_run_retrieval_end_to_end(tmp_path):
     ckpt2 = np.load(base + '_checkpoint.npz')
     assert int(ckpt2['igen']) > igen_first
     assert len(model.posterior) > 0
+
+
+def test_demc_history_thin_matches_full():
+    """history_thin only changes what is RECORDED: the chain evolution
+    (same keys, same generations) must match the thin=1 run exactly,
+    with the recorded history its every-n-th subset."""
+    import jax
+
+    def log_post(p):
+        return -0.5 * jnp.sum(p**2)
+
+    init = np.zeros(3)
+    kw = dict(
+        nsamples=16 * 10, key=jax.random.PRNGKey(7), nchains=16,
+        pstep=np.full(3, 0.5),
+    )
+    full = sample_demc(log_post, init, **kw)
+    thinned = sample_demc(log_post, init, history_thin=5, **kw)
+    np.testing.assert_allclose(
+        np.asarray(thinned['chains']), np.asarray(full['chains']),
+        rtol=1e-12,
+    )
+    assert np.asarray(full['chain_history']).shape[0] == 10
+    assert np.asarray(thinned['chain_history']).shape[0] == 2
