@@ -346,7 +346,7 @@ def _roofline_metrics(bytes_per_batch, flops_per_batch, elapsed,
     }
 
 
-def _throughput_curve(n_iter=5):
+def _throughput_curve(n_iter=20):
     """Batch x grid throughput points (spectra/s) on this chip.
 
     Grids: wnstep=1 (~3.2k), R=25k (~10.9k), R=115k (~50k points over
@@ -712,7 +712,7 @@ def _production_retrieval(nchains=1024, chunk_gens=500, max_chunks=70,
     }
 
 
-def _highres_rate(n_iter=5, batch=64):
+def _highres_rate(n_iter=20, batch=64):
     """Flagship forward at R = 25,000 (realistic high-res grid)."""
     import jax
     import jax.numpy as jnp
