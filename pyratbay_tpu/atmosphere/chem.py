@@ -37,6 +37,7 @@ Formation enthalpies are JANAF/CODATA values (electron convention for
 ions).  Every species is sanity-pinned by tests against literature
 DfH298 / S298 / Cp298.
 """
+import os
 import re
 
 import numpy as np
@@ -535,6 +536,16 @@ def thermo_properties(name, temp):
 # thermo_properties() (Cp/H/S literature pins) is untouched.
 # Held-out result: every trace species <= 0.8% of chemcat across both
 # metallicities (was up to ~4% uncalibrated).
+#
+# FITTED VALIDITY RANGE: the goldens are guillot hot-Jupiter profiles
+# (T ~ 700-1500 K) at [M/H] = 0 and -1; the ds + dh/T form is the
+# leading-order expansion of a NASA-polynomial difference, so it
+# extrapolates smoothly, but outside roughly T in [500, 3000] K the
+# corrections are unvalidated (they stay small: |ds| <= 0.12 R,
+# |dh| <= 160 K, i.e. <= ~0.2 kT at 1000 K).  Disable with
+# PBT_CHEM_CAL=0 (env, read at import) or chem.CALIBRATE_G0 = False
+# to get the uncorrected GRI-Mech/statmech thermodynamics.
+CALIBRATE_G0 = os.environ.get('PBT_CHEM_CAL', '1') != '0'
 _G0_CALIBRATION = {
     'Na': (+0.000071, +0.0644),
     'K': (+0.001103, +1.1805),
@@ -550,10 +561,11 @@ _G0_CALIBRATION = {
 
 def gibbs_over_rt(name, temp):
     """g0 = G/(RT) = H/RT - S/R at the 1 bar standard state (with the
-    _G0_CALIBRATION chemcat-parity offsets applied)."""
+    _G0_CALIBRATION chemcat-parity offsets applied unless
+    CALIBRATE_G0 is False)."""
     h, s = thermo_properties(name, temp)
     g0 = h - s
-    cal = _G0_CALIBRATION.get(name)
+    cal = _G0_CALIBRATION.get(name) if CALIBRATE_G0 else None
     if cal is not None:
         ds, dh = cal
         g0 = g0 + ds + dh / np.atleast_1d(np.asarray(temp, float))

@@ -65,11 +65,13 @@ def _synthetic_cia_table(path, species=('H2', 'H2'), seed=7):
 
 
 def make_flagship(workdir=None, nlayers=51, wl_low=1.1, wl_high=1.7,
-                  wnstep=1.0, resolution=None):
-    """Build the flagship transmission model + retrieval forward.
+                  wnstep=1.0, resolution=None, rt_path='transit'):
+    """Build the flagship model + retrieval forward.
 
     Sampling: constant-dnu `wnstep` (default), or constant-R
-    `resolution` when given (wnstep ignored).
+    `resolution` when given (wnstep ignored).  rt_path picks the
+    geometry ('transit' default; 'eclipse' / 'emission' build the
+    same atmosphere over the plane-parallel solver).
     Returns (model, obs, ret, forward_fn, example_params).
     """
     import jax
@@ -116,7 +118,7 @@ def make_flagship(workdir=None, nlayers=51, wl_low=1.1, wl_high=1.7,
 runmode = spectrum
 verb = -1
 logfile = {workdir}/flagship.log
-rt_path = transit
+rt_path = {rt_path}
 atmfile = {atmfile}
 sampled_cross_sec = {cs_file}
 continuum_cross_sec = {cia_file}

@@ -985,11 +985,8 @@ class Model:
         # spectrum/rt_pallas.py), unfused XLA elsewhere.  depth/ideep
         # stay on the XLA path: they are diagnostics, dead-code
         # eliminated from jitted consumers that only use the spectrum.
-        import os
-        fused = (
-            jax.default_backend() == 'tpu'
-            and os.environ.get('PBT_RT_PALLAS', '1') != '0'
-        )
+        from . import tuning
+        fused = jax.default_backend() == 'tpu' and tuning.RT_PALLAS
         depth, ideep = rt.transit_depth(
             ec_total, path, self.maxdepth, rtop, ibottom,
         )

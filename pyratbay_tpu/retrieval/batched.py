@@ -16,11 +16,14 @@ This builder assembles the ensemble explicitly instead:
   flatten into one matmul with standard-layout outputs;
 * elementwise sources (alkali, Rayleigh, clouds, H-) vmap as before
   (elementwise fusions are layout-flexible);
-* the RT runs through the fused pallas kernel (spectrum/rt_pallas.py)
-  under vmap, and band integration is one [B, W] x [W, nbands] matmul.
+* transit RT runs through the batched fused pallas kernel
+  (spectrum/ensemble_pallas.py); plane-parallel emission/eclipse
+  through the fused emission kernel (spectrum/emission_pallas.py,
+  in-kernel Planck + cumtrapz-matmul depth); band integration is one
+  [B, W] x [W, nbands] matmul.
 
 Falls back to plain vmap for configurations it does not cover
-(emission/eclipse paths, live-LBL opacities, high-res channels).
+(two-stream fluxes, live-LBL opacities, high-res channels).
 Reference workload: chain-parallel MCMC over pyrat.eval
 (pyratbay/pyrat/pyrat_obj.py:225-385, 452-464).
 """
@@ -30,16 +33,24 @@ import jax.numpy as jnp
 
 from .. import constants as pc
 from ..atmosphere import geometry, vmr as vmr_models
+from ..ops.planck import blackbody_wn
 from ..spectrum import rt
 from .forward import build_forward
 
 __all__ = ['build_forward_batched', 'build_log_posterior_batched']
 
 
+_BATCHED_RT = (
+    pc.TRANSMISSION_RT + ['emission', 'eclipse', 'f_lambda']
+)
+
+
 def _supported(model, obs):
-    if model.rt_path not in pc.TRANSMISSION_RT:
-        return False
-    if obs is not None and getattr(obs, 'wn_hires', None) is not None:
+    # Transit + plane-parallel emission/eclipse run the ensemble hot
+    # path (incl. the high-res channel: batched convolution + fixed
+    # or RV-shifted resampling); two-stream fluxes (layer
+    # recurrences) stay on vmap:
+    if model.rt_path not in _BATCHED_RT:
         return False
     for mtype, _, _ in model.opacity_models:
         if mtype not in ('line_sample', 'cia', 'alkali', 'rayleigh',
@@ -86,8 +97,27 @@ def build_forward_batched(model, obs=None, ret=None):
     rstar_n = model.rstar / rscale
     maxdepth = model.maxdepth
 
+    rt_path = model.rt_path
+    is_transit = rt_path in pc.TRANSMISSION_RT
+    is_eclipse = rt_path in pc.ECLIPSE_RT
+    wn = np.asarray(model.wn)
+    quad_mu = np.asarray(model.quadrature_mu)
+    quad_w = np.asarray(model.quadrature_weights)
+    starflux = (
+        None if model.starflux is None else np.asarray(model.starflux)
+    )
+    retrieve_tstar = ret is not None and ret.itstar is not None
+    sed_temps = getattr(model, 'sed_temps', None)
+    sed_fluxes = getattr(model, 'sed_fluxes', None)
+
+    # Fused-RT dispatch is fixed at BUILD time (pyratbay_tpu.tuning is
+    # read once here; rebuild the forward after set_tuning):
+    from .. import tuning
+    use_pallas = jax.default_backend() == 'tpu' and tuning.RT_PALLAS
+    ens_lanes = tuning.ENS_LANES
+    ens_cb = tuning.ENS_CHAIN_BLOCK
+
     def forward_b(params_b):
-        import os
         params_b = jnp.asarray(params_b)
         st = jax.vmap(state)(params_b)
         temp = st['temp']                  # [B, l]
@@ -110,14 +140,14 @@ def build_forward_batched(model, obs=None, ret=None):
         cia_ws = []
         cia_tabs = []
         elem = None
-        deck_itop = deck_rsurf = None
+        deck_itop = deck_rsurf = deck_tsurf = None
         have_deck = False
 
         for (mtype, m, imol), pars in zip(
                 model.opacity_models, pars_list):
             if m.name == 'deck':
                 surf = jax.vmap(m.surface)(radius, temp, pars)
-                deck_itop, deck_rsurf, _ = surf
+                deck_itop, deck_rsurf, deck_tsurf = surf
                 have_deck = True
                 continue
 
@@ -190,24 +220,110 @@ def build_forward_batched(model, obs=None, ret=None):
                 cloud_sum = cloud_sum + extra_cloud
             cloud_parts = [cloud_sum]
 
-        # ---- Transit RT (batched):
-        rr = radius / rscale
-        path = jax.vmap(geometry.transit_path_matrix)(rr, rtop) * rscale
+        def run_emission_rt(fused_e, parts_e, cloud_parts_e, cia_ws_e,
+                            cia_tabs_e, radius_e, temp_e, rtop_e,
+                            ibottom_e, ditop, dtsurf, fpatchy_e, nb_e):
+            """Plane-parallel emission over the ensemble: fused pallas
+            kernel on TPU (in-kernel Planck + cumtrapz-matmul depth,
+            spectrum/emission_pallas.py), per-chain vmap elsewhere."""
+            if fused_e:
+                from ..spectrum.emission_pallas import (
+                    emission_flux_ensemble,
+                )
+                cia_w = cia_tab = None
+                if cia_ws_e:
+                    cia_w = jnp.concatenate(cia_ws_e, axis=2)
+                    cia_tab = np.concatenate(cia_tabs_e, axis=0)
+
+                def run_one(ec_parts, ibot, dit, dts):
+                    return emission_flux_ensemble(
+                        ec_parts, radius_e, temp_e, wn, quad_mu,
+                        quad_w, rtop_e, ibot, deck_itop=dit,
+                        deck_tsurf=dts, cia_w=cia_w, cia_tab=cia_tab,
+                        maxdepth=maxdepth, max_lanes=ens_lanes,
+                        chain_block=ens_cb,
+                    )
+            else:
+                parts_e = parts_e + [
+                    jnp.einsum('blt,tw->blw', cw, jnp.asarray(ct))
+                    for cw, ct in zip(cia_ws_e, cia_tabs_e)
+                ]
+                wn_j = jnp.asarray(wn)
+                mu_j = jnp.asarray(quad_mu)
+                w_col = jnp.asarray(quad_w)[:, None]
+
+                def espec_one(ec_parts, rad_i, temp_i, rtop_i,
+                              ibot_i, surf):
+                    dit, dts = surf
+                    ec_i = ec_parts[0]
+                    for part in ec_parts[1:]:
+                        ec_i = ec_i + part
+                    depth, ideep = rt.plane_parallel_depth(
+                        ec_i, rad_i, maxdepth, rtop_i, ibot_i,
+                    )
+                    bbody = blackbody_wn(wn_j, temp_i[:, None])
+                    if dts is not None:
+                        bb_surf = blackbody_wn(wn_j, dts)
+                        bbody = jnp.where(
+                            (jnp.arange(nlayers) == dit)[:, None],
+                            bb_surf[None, :], bbody,
+                        )
+                        ideep = jnp.clip(ideep, 0, dit)
+                    inten = rt.plane_parallel_intensity(
+                        depth, bbody, mu_j, ideep, rtop_i,
+                    )
+                    return jnp.sum(inten * w_col, axis=0)
+
+                def run_one(ec_parts, ibot, dit, dts):
+                    surf_args = (dit, dts)
+                    surf_axes = (
+                        (0, 0) if dit is not None else (None, None)
+                    )
+                    ib_ax = 0 if getattr(ibot, 'ndim', 0) else None
+                    return jax.vmap(
+                        espec_one,
+                        in_axes=((0,) * len(ec_parts), 0, 0, 0,
+                                 ib_ax, surf_axes),
+                    )(tuple(ec_parts), radius_e, temp_e, rtop_e,
+                      ibot, surf_args)
+
+            spectrum_e = run_one(
+                parts_e + cloud_parts_e, ibottom_e, ditop, dtsurf,
+            )
+            if model.is_patchy:
+                cloudy = spectrum_e
+                clear = run_one(
+                    parts_e, jnp.full((nb_e,), nlayers), None, None,
+                )
+                fp = fpatchy_e if fpatchy_e is not None else 0.0
+                spectrum_e = (
+                    fp[:, None] * cloudy + (1 - fp[:, None]) * clear
+                )
+            return spectrum_e
+
+        # ---- RT (batched):
         if have_deck:
             ibottom = deck_itop + 1
-            rsurf_n = deck_rsurf / rscale
         else:
             ibottom = jnp.full((nb,), nlayers)
-            rsurf_n = None
 
-        fused = (
-            jax.default_backend() == 'tpu'
-            and os.environ.get('PBT_RT_PALLAS', '1') != '0'
-        )
+        fused = use_pallas
         if not parts and (not fused or not cia_ws):
             parts = [jnp.zeros((nb, nlayers, nwave))]
 
-        if fused:
+        if not is_transit:
+            spectrum = run_emission_rt(
+                fused, parts, cloud_parts, cia_ws, cia_tabs,
+                radius, temp, rtop, ibottom,
+                deck_itop if have_deck else None,
+                deck_tsurf if have_deck else None,
+                fpatchy, nb,
+            )
+        elif fused:
+            rr = radius / rscale
+            path = jax.vmap(geometry.transit_path_matrix)(
+                rr, rtop) * rscale
+            rsurf_n = deck_rsurf / rscale if have_deck else None
             from ..spectrum.ensemble_pallas import (
                 transit_spectrum_ensemble,
             )
@@ -223,6 +339,7 @@ def build_forward_batched(model, obs=None, ret=None):
                     ec_parts, path, rr, rstar_n, rtop, ibot,
                     deck_itop=ditop, deck_rsurf=dsurf,
                     cia_w=cia_w, cia_tab=cia_tab, maxdepth=maxdepth,
+                    max_lanes=ens_lanes, chain_block=ens_cb,
                 )
 
             spectrum = run_ensemble(
@@ -242,6 +359,10 @@ def build_forward_batched(model, obs=None, ret=None):
         else:
             # XLA fallback (CPU / PBT_RT_PALLAS=0): CIA back to an
             # ensemble einsum, then the unfused per-chain RT:
+            rr = radius / rscale
+            path = jax.vmap(geometry.transit_path_matrix)(
+                rr, rtop) * rscale
+            rsurf_n = deck_rsurf / rscale if have_deck else None
             for cw, ct in zip(cia_ws, cia_tabs):
                 parts.append(jnp.einsum('blt,tw->blw', cw,
                                         jnp.asarray(ct)))
@@ -281,6 +402,45 @@ def build_forward_batched(model, obs=None, ret=None):
                     fp[:, None] * cloudy + (1 - fp[:, None]) * clear
                 )
 
+        # ---- Emission post-scalings (forward.py:250-274 semantics):
+        if not is_transit:
+            fd = st['f_dilution']
+            if fd is not None:
+                fd = jnp.asarray(fd)
+                spectrum = spectrum * (
+                    fd[:, None] if fd.ndim == 1 else fd
+                )
+            rp = jnp.asarray(st['rplanet'])
+            rp_col = rp[:, None] if rp.ndim == 1 else rp
+            if is_eclipse:
+                if retrieve_tstar and sed_temps is not None:
+                    from ..model import _interp_sed
+                    sflux = jax.vmap(
+                        lambda ts: _interp_sed(
+                            sed_fluxes, sed_temps, ts),
+                    )(st['tstar'])
+                elif retrieve_tstar:
+                    sflux = jax.vmap(
+                        lambda ts: blackbody_wn(
+                            jnp.asarray(wn), ts) * np.pi,
+                    )(st['tstar'])
+                else:
+                    sflux = jnp.asarray(starflux)[None, :]
+                spectrum = (
+                    spectrum / sflux * (rp_col / model.rstar)**2
+                )
+            if rt_path == 'f_lambda':
+                if model.distance is None:
+                    raise ValueError(
+                        'Undefined distance to the system, required '
+                        'for f_lambda flux'
+                    )
+                spectrum = (
+                    10.0 * spectrum
+                    * (rp_col / model.distance
+                       * jnp.asarray(wn)[None, :] * pc.um)**2
+                )
+
         # ---- Rejection + band integration:
         good = (
             (jnp.min(temp, axis=1) >= tmin_bound)
@@ -316,7 +476,11 @@ def build_log_posterior_batched(model, obs, ret):
     from .forward import build_log_posterior
 
     forward_b = build_forward_batched(model, obs, ret)
-    if forward_b.is_fallback:
+    has_lowres = obs.data is not None and obs.nbands > 0
+    if forward_b.is_fallback or not has_lowres:
+        # The fallback also owns the no-data case: build_log_posterior
+        # raises the descriptive data/obsfile ValueError instead of an
+        # opaque asarray(None) failure here.
         log_post = build_log_posterior(model, obs, ret)
         return jax.vmap(log_post)
 

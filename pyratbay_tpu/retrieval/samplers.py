@@ -159,6 +159,7 @@ def sample_demc(
     ngen = int(np.ceil(nsamples / nchains))
     igen0 = 0
     hist0 = []
+    gamma_resume = eps_resume = None
     if resume and checkpoint_file is not None \
             and os.path.isfile(checkpoint_file):
         ckpt = np.load(checkpoint_file)
@@ -167,6 +168,13 @@ def sample_demc(
         hist0 = [(
             ckpt['hist_chains'], ckpt['hist_logp'], ckpt['hist_accept'],
         )]
+        # Adapted proposal state (written by newer checkpoints): a
+        # resumed adapt_gamma run continues from the adapted scale
+        # instead of snapping back to gamma0:
+        if 'gamma' in ckpt.files:
+            gamma_resume = float(ckpt['gamma'])
+        if 'eps_scale' in ckpt.files:
+            eps_resume = np.asarray(ckpt['eps_scale'])
         if log is not None:
             log.msg(
                 f'Resuming retrieval from {checkpoint_file} at '
@@ -221,6 +229,9 @@ def sample_demc(
                 (new_chains, new_logp, accept),
             )
 
+        scan_plain = jax.jit(lambda carry, xs: lax.scan(
+            generation, carry, xs,
+        ))
         if history_thin > 1:
             def gen_inner(carry, inputs):
                 new_carry, (_c, _l, accept) = generation(carry, inputs)
@@ -231,6 +242,10 @@ def sample_demc(
                 return carry, (carry[0], carry[1], accepts[-1])
 
             def scan_fn(carry, xs):
+                # Callers hand this whole-stride chunks only (the
+                # chunk loop routes any % history_thin remainder
+                # through scan_plain so every requested generation
+                # actually runs):
                 keys_x, ids_x = xs
                 nrec = keys_x.shape[0] // history_thin
                 keys_b = keys_x[:nrec * history_thin].reshape(
@@ -241,11 +256,11 @@ def sample_demc(
 
             scan_chunk = jax.jit(scan_fn)
         else:
-            scan_chunk = jax.jit(lambda carry, xs: lax.scan(
-                generation, carry, xs,
-            ))
-        cache_host._demc_scan = scan_chunk
+            scan_chunk = scan_plain
+        cache_host._demc_scan = (scan_chunk, scan_plain)
         cache_host._demc_scan_meta = (snooker_fraction, history_thin)
+    else:
+        scan_chunk, scan_plain = scan_chunk
 
     # Chunked scanning: each chunk is one jitted lax.scan; between
     # chunks the host can checkpoint the chain state (resume support):
@@ -256,8 +271,10 @@ def sample_demc(
     gen_ids = jnp.arange(ngen)
     hist_parts = list(hist0)
     carry = (
-        chains, logp, jnp.asarray(gamma0),
-        jnp.asarray(eps_scale) * jnp.ones(npars),
+        chains, logp,
+        jnp.asarray(gamma0 if gamma_resume is None else gamma_resume),
+        (jnp.asarray(eps_scale) * jnp.ones(npars)
+         if eps_resume is None else jnp.asarray(eps_resume)),
         jnp.asarray(free_mask),
     )
     t_last = time.time()
@@ -265,12 +282,30 @@ def sample_demc(
     igen = igen0
     while igen < ngen:
         hi = min(igen + chunk_gens, ngen)
-        carry, (h_c, h_l, h_a) = scan_chunk(
-            carry, (keys[igen:hi], gen_ids[igen:hi]),
-        )
-        hist_parts.append((
-            np.asarray(h_c), np.asarray(h_l), np.asarray(h_a),
-        ))
+        # The thinned scan only executes whole history_thin strides;
+        # route any remainder (chunk_gens not a multiple, or the final
+        # partial chunk) through the plain scan so every generation up
+        # to `hi` actually runs and igen never overstates the chain's
+        # evolution:
+        n_gens = hi - igen
+        rem = n_gens % history_thin if history_thin > 1 else 0
+        mid = hi - rem
+        if mid > igen:
+            carry, (h_c, h_l, h_a) = scan_chunk(
+                carry, (keys[igen:mid], gen_ids[igen:mid]),
+            )
+            hist_parts.append((
+                np.asarray(h_c), np.asarray(h_l), np.asarray(h_a),
+            ))
+        if rem:
+            carry, (r_c, r_l, r_a) = scan_plain(
+                carry, (keys[mid:hi], gen_ids[mid:hi]),
+            )
+            # One record for the partial stride (its final state):
+            hist_parts.append((
+                np.asarray(r_c[-1:]), np.asarray(r_l[-1:]),
+                np.asarray(r_a[-1:]),
+            ))
         igen = hi
         if adapt_gamma:
             acc = float(hist_parts[-1][2].mean())
@@ -287,6 +322,8 @@ def sample_demc(
                 checkpoint_file,
                 chains=np.asarray(carry[0]),
                 igen=igen,
+                gamma=np.asarray(carry[2]),
+                eps_scale=np.asarray(carry[3]),
                 hist_chains=np.concatenate(
                     [h[0] for h in hist_parts]),
                 hist_logp=np.concatenate([h[1] for h in hist_parts]),

@@ -1,0 +1,346 @@
+"""Ensemble plane-parallel emission-RT pallas kernel.
+
+The emission analog of ensemble_pallas.py: one fused kernel computes,
+per (wave-tile, chain-block) grid cell,
+
+    ec sum (+ in-kernel CIA)
+    -> cumulative-trapezoid optical depth as TWO [l, l] x [l, wt]
+       MXU matmuls (depth at rows j and j+1; the cumsum lowers to a
+       per-chain lower-triangular matrix built on the host, so the
+       kernel needs no sublane shifts)
+    -> in-kernel Planck functions B(wn, T_j), B(wn, T_{j+1}) from the
+       per-chain temperature columns (the [B, l, nwave] blackbody grid
+       is never materialized in HBM)
+    -> ideep early stop, deck-surface override, and the
+       I = B_last e^{-tau/mu} - 0.5 sum m_j (B_j + B_{j+1})
+       (e^{-tau_{j+1}/mu} - e^{-tau_j/mu}) intensity integral,
+       statically unrolled over the (few) quadrature angles
+    -> Gauss-quadrature flux [cb, wt] written once.
+
+HBM per batch = one read of each extinction part + small per-chain
+operands + the [B, nwave] flux write -- same traffic class as the
+transit ensemble kernel.
+
+Numerics match spectrum/rt.py::plane_parallel_depth +
+plane_parallel_intensity + the quadrature sum exactly (modulo f32
+reassociation), including maxdepth/ideep semantics, the deck
+blackbody-surface override, and the single-interval short circuit.
+Reference: pyratbay/src_c/_trapezoid.c:175-213 (cumtrapz depth),
+304-341 (intensity), pyratbay/pyrat/spectrum.py:42-64 (quadrature).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as pc
+from .rt_pallas import _wave_tile
+
+__all__ = ['emission_flux_ensemble', 'prep_emission_chain']
+
+# Planck kernel-parity constants (constants.h:13-15):
+_PLANCK_C1 = 2.0 * pc.H_KERNEL * pc.LS_KERNEL**2   # 2 h c^2
+_PLANCK_C2 = pc.H_KERNEL * pc.LS_KERNEL / pc.KB_KERNEL  # h c / k
+
+
+def prep_emission_chain(radius, temp, itop, ibottom, deck_itop,
+                        deck_tsurf, dt, nlayers):
+    """Per-chain kernel operands for the emission ensemble kernel.
+
+    Returns (scal [8], cum [l, l], cum_next [l, l], temp_col [l, 1],
+    temp_next_col [l, 1]).  Vmappable; all deck/itop dependence is
+    folded in here so the kernel sees only dense operands.
+    """
+    radius = jnp.asarray(radius, dt)
+    temp = jnp.asarray(temp, dt)
+    itop_f = jnp.asarray(itop, dt)
+    rows = jnp.arange(nlayers)
+
+    # Cumulative-trapezoid matrices: depth[k] = cum[k] @ ec with
+    # cum[k, i] = 0.5*(dr[i]*[itop<=i<=k-1] + dr[i-1]*[itop<=i-1<=k-1])
+    # (plane_parallel_depth's step j >= itop masking):
+    dr = radius[:-1] - radius[1:]                  # [l-1], positive
+    dr_at = jnp.concatenate([dr, jnp.zeros(1, dt)])       # dr[i]
+    dr_prev = jnp.concatenate([jnp.zeros(1, dt), dr])     # dr[i-1]
+    ii = rows[None, :]
+    kk = rows[:, None]
+    term1 = jnp.where((ii >= itop) & (ii <= kk - 1), dr_at[None, :], 0.0)
+    term2 = jnp.where(
+        (ii - 1 >= itop) & (ii - 1 <= kk - 1), dr_prev[None, :], 0.0,
+    )
+    cum = 0.5 * (term1 + term2)                    # [l, l]
+    # Row-shifted variant (depth at layer j+1); its last row is only
+    # read under an always-false mask:
+    cum_next = jnp.concatenate([cum[1:], cum[-1:]], axis=0)
+
+    # Integration bottom: min(ibottom, l-1), clipped to the deck
+    # surface (Model._run_emission's ideep = clip(ideep, 0, deck_itop)):
+    bottom = jnp.minimum(jnp.asarray(ibottom, dt), float(nlayers - 1))
+    if deck_itop is not None:
+        bottom = jnp.minimum(bottom, jnp.asarray(deck_itop, dt))
+        # Blackbody surface override B[deck_itop] = B(tsurf): both
+        # temperature columns pick up tsurf where they sample that row:
+        tsurf = jnp.asarray(deck_tsurf, dt)
+        temp_col = jnp.where(rows == deck_itop, tsurf, temp)
+        temp_next = jnp.where(
+            rows == deck_itop - 1, tsurf,
+            jnp.concatenate([temp[1:], temp[-1:]]),
+        )
+    else:
+        temp_col = temp
+        temp_next = jnp.concatenate([temp[1:], temp[-1:]])
+
+    scal = jnp.stack([
+        itop_f, bottom, jnp.zeros((), dt), jnp.zeros((), dt),
+        jnp.zeros((), dt), jnp.zeros((), dt), jnp.zeros((), dt),
+        jnp.zeros((), dt),
+    ])
+    return scal, cum, cum_next, temp_col[:, None], temp_next[:, None]
+
+
+def _planck(wn_row, wn3_row, temp_col):
+    """B(wn, T) = c1 wn^3 / (exp(c2 wn / T) - 1), [l,1]x[1,wt].
+
+    exp(x)-1 instead of expm1 (Mosaic has no expm1 lowering); at
+    f32 the difference only matters for h c nu << k T, i.e. x
+    below ~1e-3 (wn < ~1 cm-1 at 1000 K), far off any IR grid.
+    """
+    return _PLANCK_C1 * wn3_row / (
+        jnp.exp(_PLANCK_C2 * wn_row / temp_col) - 1.0
+    )
+
+
+def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
+                     wn_ref, *rest, maxdepth, l8, cb, has_cia,
+                     mu, weights):
+    if has_cia:
+        *part_refs, ciaw_ref, ciat_ref, out_ref = rest
+    else:
+        *part_refs, out_ref = rest
+        ciaw_ref = ciat_ref = None
+
+    wn_row = wn_ref[...]                          # [1, wt]
+    wn3_row = wn_row * wn_row * wn_row
+    dt = wn_row.dtype
+
+    for c in range(cb):
+        ec = part_refs[0][c]                      # [l8, wt]
+        for ref in part_refs[1:]:
+            ec = ec + ref[c]
+        if has_cia:
+            ec = ec + jnp.dot(
+                ciaw_ref[c], ciat_ref[...],
+                preferred_element_type=ec.dtype,
+            )
+        # HIGHEST precision: the XLA reference computes this depth as
+        # an exact-f32 cumsum; default (bf16-pass) MXU precision costs
+        # ~3e-3 relative here because exp(-tau/mu) amplifies tau error:
+        depth = jnp.dot(
+            cum_ref[c], ec, preferred_element_type=ec.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                         # tau at row j
+        depth_n = jnp.dot(
+            cumn_ref[c], ec, preferred_element_type=ec.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                         # tau at row j+1
+
+        rtop = scal_ref[c, 0]
+        bottom = scal_ref[c, 1]
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, depth.shape, 0,
+        ).astype(dt)
+
+        # ideep: first row > rtop where tau >= maxdepth, else bottom
+        # (plane_parallel_depth:141-145 + the deck clip, both folded
+        # into `bottom` by prep_emission_chain):
+        stop = (depth >= maxdepth) & (rows > rtop)
+        first = jnp.min(
+            jnp.where(stop, rows, float(l8)), axis=0, keepdims=True,
+        )
+        ideep = jnp.where(
+            first < float(l8), jnp.minimum(first, bottom), bottom,
+        )                                         # [1, wt]
+
+        is_last = rows == ideep
+        taumax = jnp.sum(
+            jnp.where(is_last, depth, 0.0), axis=0, keepdims=True,
+        )
+        bb = _planck(wn_row, wn3_row, t_ref[c])   # [l8, wt]
+        bb_n = _planck(wn_row, wn3_row, tn_ref[c])
+        b_last = jnp.sum(
+            jnp.where(is_last, bb, 0.0), axis=0, keepdims=True,
+        )
+        mask = (rows >= rtop) & (rows < ideep)
+        bsum = jnp.where(mask, bb + bb_n, 0.0)
+        single = (ideep - rtop) == 1.0
+
+        flux = jnp.zeros_like(taumax)
+        for mu_k, w_k in zip(mu, weights):        # static unroll
+            inv_mu = 1.0 / mu_k
+            d_etau = (
+                jnp.exp(-depth_n * inv_mu) - jnp.exp(-depth * inv_mu)
+            )
+            integral = 0.5 * jnp.sum(
+                bsum * d_etau, axis=0, keepdims=True,
+            )
+            inten = b_last * jnp.exp(-taumax * inv_mu) - integral
+            inten = jnp.where(single, b_last, inten)
+            flux = flux + w_k * inten
+        out_ref[c:c + 1, :] = flux
+
+
+def emission_flux_ensemble(
+        ec_parts, radius, temp, wn, mu, weights, itop, ibottom,
+        deck_itop=None, deck_tsurf=None, cia_w=None, cia_tab=None, *,
+        maxdepth=np.inf, interpret=False, chain_block=None,
+        max_lanes=None,
+    ):
+    """Batched emergent emission flux in one fused kernel.
+
+    Parameters
+    ----------
+    ec_parts: list of [B, nlayers, nwave] extinction contributions.
+    radius: [B, nlayers] (cm); temp: [B, nlayers] (K).
+    wn: [nwave] wavenumber grid (cm-1, static host array).
+    mu, weights: quadrature angles/weights (static host arrays).
+    itop, ibottom: [B] traced ints (rtop / one-past-bottom rows).
+    deck_itop, deck_tsurf: [B] traced deck surface index/temperature,
+        or None.
+    cia_w / cia_tab: as in transit_spectrum_ensemble.
+    maxdepth: static early-stop optical depth.
+
+    Returns
+    -------
+    flux [B, nwave] (quadrature-weighted, same units as
+    Model._run_emission's spectrum).
+    """
+    from .. import tuning
+    if max_lanes is None:
+        max_lanes = tuning.ENS_LANES
+    if chain_block is None:
+        chain_block = tuning.ENS_CHAIN_BLOCK
+    nwave = ec_parts[0].shape[2]
+    npad, _ = _wave_tile(nwave, max_lanes=max_lanes)
+    # Wavenumber row, padded with ones (pad lanes are sliced away;
+    # ones keep the in-kernel Planck finite there):
+    wn_row = np.ones((1, npad), np.float32)
+    wn_row[0, :nwave] = np.asarray(wn)
+    return _emission_flux_ensemble(
+        ec_parts, radius, temp, wn_row,
+        tuple(float(m) for m in np.asarray(mu)),
+        tuple(float(w) for w in np.asarray(weights)),
+        itop, ibottom, deck_itop, deck_tsurf, cia_w, cia_tab,
+        maxdepth=maxdepth, interpret=interpret,
+        chain_block=chain_block, max_lanes=max_lanes,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('mu', 'weights', 'maxdepth', 'interpret',
+                     'chain_block', 'max_lanes'),
+)
+def _emission_flux_ensemble(
+        ec_parts, radius, temp, wn_row, mu, weights, itop, ibottom,
+        deck_itop, deck_tsurf, cia_w, cia_tab, *,
+        maxdepth, interpret, chain_block, max_lanes,
+    ):
+    ec_parts = list(ec_parts)
+    nb, nlayers, nwave = ec_parts[0].shape
+    npad, wtile = _wave_tile(nwave, max_lanes=max_lanes)
+    cb = chain_block
+    bpad = -(-nb // cb) * cb
+    dt = ec_parts[0].dtype
+    has_cia = cia_w is not None
+
+    prep = jax.vmap(
+        prep_emission_chain,
+        in_axes=(0, 0, 0, 0,
+                 0 if deck_itop is not None else None,
+                 0 if deck_tsurf is not None else None,
+                 None, None),
+    )
+    scal, cum, cum_next, t_col, tn_col = prep(
+        radius, temp, itop, ibottom, deck_itop, deck_tsurf,
+        dt, nlayers,
+    )
+    wn_row = jnp.asarray(wn_row, dt)
+
+    if bpad != nb:
+        pad_b = ((0, bpad - nb),)
+        ec_parts = [
+            jnp.pad(p, pad_b + ((0, 0), (0, 0)), mode='edge')
+            for p in ec_parts
+        ]
+        scal = jnp.pad(scal, pad_b + ((0, 0),), mode='edge')
+        cum = jnp.pad(cum, pad_b + ((0, 0), (0, 0)), mode='edge')
+        cum_next = jnp.pad(
+            cum_next, pad_b + ((0, 0), (0, 0)), mode='edge')
+        t_col = jnp.pad(t_col, pad_b + ((0, 0), (0, 0)), mode='edge')
+        tn_col = jnp.pad(tn_col, pad_b + ((0, 0), (0, 0)), mode='edge')
+        if has_cia:
+            cia_w = jnp.pad(
+                cia_w, pad_b + ((0, 0), (0, 0)), mode='edge')
+
+    kernel = functools.partial(
+        _emission_kernel, maxdepth=float(maxdepth), l8=nlayers,
+        cb=cb, has_cia=has_cia, mu=mu, weights=weights,
+    )
+    grid = (npad // wtile, bpad // cb)
+    chain3 = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM,
+    )
+    part_spec = pl.BlockSpec(
+        (cb, nlayers, wtile), lambda i, j: (j, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [
+        pl.BlockSpec((cb, 8), lambda i, j: (j, 0),
+                     memory_space=pltpu.SMEM),
+        chain3((cb, nlayers, nlayers)),
+        chain3((cb, nlayers, nlayers)),
+        chain3((cb, nlayers, 1)),
+        chain3((cb, nlayers, 1)),
+        pl.BlockSpec((1, wtile), lambda i, j: (0, i),
+                     memory_space=pltpu.VMEM),
+    ] + [part_spec] * len(ec_parts)
+    operands = [
+        scal, cum.astype(dt), cum_next.astype(dt), t_col, tn_col,
+        wn_row, *ec_parts,
+    ]
+    if has_cia:
+        kdim = cia_tab.shape[0]
+        in_specs.append(chain3((cb, nlayers, kdim)))
+        in_specs.append(pl.BlockSpec(
+            (kdim, wtile), lambda i, j: (0, i),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(cia_w.astype(dt))
+        operands.append(jnp.asarray(cia_tab, dt))
+
+    kcia = cia_tab.shape[0] if has_cia else 0
+    nmu = len(mu)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (cb, wtile), lambda i, j: (j, i), memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bpad, npad), dt),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bpad * nlayers * npad * (2 * nlayers + kcia)
+            + (20 + 10 * nmu) * bpad * nlayers * npad,
+            bytes_accessed=4 * (
+                len(ec_parts) * bpad * nlayers * nwave
+                + 2 * bpad * nlayers * nlayers + kcia * nwave
+                + bpad * nwave
+            ),
+            transcendentals=(2 + 2 * nmu) * bpad * nlayers * npad,
+        ),
+    )(*operands)
+    return out[:nb, :nwave]

