@@ -110,6 +110,37 @@ def build_forward_batched(model, obs=None, ret=None):
     sed_temps = getattr(model, 'sed_temps', None)
     sed_fluxes = getattr(model, 'sed_fluxes', None)
 
+    # High-res channel (forward.py:96-110 semantics, batched): the
+    # instrumental convolution becomes ONE grouped lax.conv over the
+    # ensemble; without a retrieved RV the resampling at wn_hires is a
+    # fixed two-point lerp (precomputed gather indices), with RV it is
+    # a per-chain jnp.interp on the Doppler-shifted grid:
+    has_hires = (
+        obs is not None and getattr(obs, 'wn_hires', None) is not None
+    )
+    if has_hires:
+        from ..spectrum.hires import instrumental_kernel
+        sampling_res = model.grid.resolution
+        if sampling_res is None:
+            dwn = np.ediff1d(wn)
+            sampling_res = float(np.median(wn[:-1] / dwn))
+        hires_kernel = np.asarray(instrumental_kernel(
+            obs.inst_resolution, sampling_res,
+        ))
+        wn_hires = np.asarray(obs.wn_hires)
+        retrieve_rv = ret is not None and ret.irv is not None
+        if not retrieve_rv:
+            # Fixed-grid lerp indices (same math as jnp.interp on an
+            # increasing wn grid, incl. edge clamping):
+            hires_ilo = np.clip(
+                np.searchsorted(wn, wn_hires, side='right') - 1,
+                0, nwave - 2,
+            )
+            hires_whi = np.clip(
+                (wn_hires - wn[hires_ilo])
+                / (wn[hires_ilo + 1] - wn[hires_ilo]), 0., 1.,
+            )
+
     # Fused-RT dispatch is fixed at BUILD time (pyratbay_tpu.tuning is
     # read once here; rebuild the forward after set_tuning):
     from .. import tuning
@@ -464,6 +495,35 @@ def build_forward_batched(model, obs=None, ret=None):
             out['bandflux'] = jnp.where(
                 good[:, None], bandflux, jnp.inf,
             )
+        if has_hires:
+            krev = jnp.asarray(
+                np.ascontiguousarray(hires_kernel[::-1]),
+            ).astype(spectrum.dtype)
+            kw = hires_kernel.shape[0]
+            pad_lo = kw - 1 - (kw - 1) // 2
+            conv = jax.lax.conv_general_dilated(
+                spectrum[:, None, :], krev[None, None, :],
+                window_strides=(1,),
+                padding=[(pad_lo, (kw - 1) // 2)],
+                dimension_numbers=('NCH', 'OIH', 'NCH'),
+            )[:, 0, :]
+            if retrieve_rv:
+                vel = params_b[:, ret.irv] * pc.km
+                factor = jnp.sqrt(
+                    (1.0 - vel / pc.c) / (1.0 + vel / pc.c))
+                wn_j = jnp.asarray(wn)
+                wh = jnp.asarray(wn_hires)
+                flux_hires = jax.vmap(
+                    lambda f, c_row: jnp.interp(wh, wn_j * f, c_row),
+                )(factor, conv)
+            else:
+                flux_hires = (
+                    conv[:, hires_ilo] * (1.0 - hires_whi)
+                    + conv[:, hires_ilo + 1] * hires_whi
+                )
+            out['bandflux_hires'] = jnp.where(
+                good[:, None], flux_hires, jnp.inf,
+            )
         return out
 
     forward_b.is_fallback = False
@@ -477,15 +537,20 @@ def build_log_posterior_batched(model, obs, ret):
 
     forward_b = build_forward_batched(model, obs, ret)
     has_lowres = obs.data is not None and obs.nbands > 0
-    if forward_b.is_fallback or not has_lowres:
+    has_hires_data = getattr(obs, 'data_hires', None) is not None
+    if forward_b.is_fallback or not (has_lowres or has_hires_data):
         # The fallback also owns the no-data case: build_log_posterior
         # raises the descriptive data/obsfile ValueError instead of an
         # opaque asarray(None) failure here.
         log_post = build_log_posterior(model, obs, ret)
         return jax.vmap(log_post)
 
-    data = jnp.asarray(obs.data)
-    uncert = jnp.asarray(obs.uncert)
+    if has_lowres:
+        data = jnp.asarray(obs.data)
+        uncert = jnp.asarray(obs.uncert)
+    if has_hires_data:
+        data_hires = jnp.asarray(obs.data_hires)
+        uncert_hires = jnp.asarray(obs.uncert_hires)
     pmin = jnp.asarray(ret.pmin)
     pmax = jnp.asarray(ret.pmax)
     prior = jnp.asarray(ret.prior)
@@ -496,23 +561,30 @@ def build_log_posterior_batched(model, obs, ret):
     def log_post_b(params_b):
         params_b = jnp.asarray(params_b)
         result = forward_b(params_b)
-        bandflux = result['bandflux']
-        data_adj = data[None, :]
-        uncert_adj = uncert[None, :]
-        log_norm = 0.0
-        if ret.ioffset:
-            data_adj = jax.vmap(obs.offset_data)(
-                params_b[:, jnp.asarray(ret.ioffset)],
-            )
-        if ret.ierror:
-            uncert_adj = jax.vmap(obs.scale_uncert)(
-                params_b[:, jnp.asarray(ret.ierror)],
-            )
-            log_norm = -jnp.sum(
-                jnp.log(uncert_adj / uncert[None, :]), axis=1,
-            )
-        resid = (bandflux - data_adj) / uncert_adj
-        log_like = -0.5 * jnp.sum(resid**2, axis=1) + log_norm
+        log_like = 0.0
+        if has_lowres:
+            bandflux = result['bandflux']
+            data_adj = data[None, :]
+            uncert_adj = uncert[None, :]
+            log_norm = 0.0
+            if ret.ioffset:
+                data_adj = jax.vmap(obs.offset_data)(
+                    params_b[:, jnp.asarray(ret.ioffset)],
+                )
+            if ret.ierror:
+                uncert_adj = jax.vmap(obs.scale_uncert)(
+                    params_b[:, jnp.asarray(ret.ierror)],
+                )
+                log_norm = -jnp.sum(
+                    jnp.log(uncert_adj / uncert[None, :]), axis=1,
+                )
+            resid = (bandflux - data_adj) / uncert_adj
+            log_like = -0.5 * jnp.sum(resid**2, axis=1) + log_norm
+        if has_hires_data:
+            resid_h = (
+                result['bandflux_hires'] - data_hires[None, :]
+            ) / uncert_hires[None, :]
+            log_like = log_like - 0.5 * jnp.sum(resid_h**2, axis=1)
         in_bounds = jnp.all(
             (params_b >= pmin[None]) & (params_b <= pmax[None]), axis=1,
         )

@@ -125,6 +125,7 @@ def identify_modes(samples, weights, link_scale=0.3):
 def sample_nested(
         log_like, prior_transform, ndim, nlive=400, key=None,
         max_iter=None, stop_dlogz=0.1, nsteps_walk=25, batch=None,
+        mesh=None,
     ):
     """Nested sampling with batched MCMC replacement.
 
@@ -141,6 +142,14 @@ def sample_nested(
     nsteps_walk: MCMC steps per replacement walk.
     batch: points removed/replaced per scan step (default nlive//16;
         larger batches keep the device busier per compile step).
+    mesh: optional jax.sharding.Mesh with a 'chains' axis: the batched
+        likelihood evaluations (the walk proposals and the live-set
+        init) are sharded across it, the TPU analog of MultiNest's
+        MPI likelihood farm (reference
+        tools/retrieval_tools.py:233-307).  Results are identical to
+        the single-device run (the algorithm's randomness is
+        device-count independent); `batch` is adjusted to a multiple
+        of the chain-shard count.
 
     Returns
     -------
@@ -155,13 +164,27 @@ def sample_nested(
     if batch is None:
         batch = max(1, nlive // 16)
     batch = int(min(batch, nlive // 2))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        nsh = mesh.shape['chains']
+        batch = max(batch, nsh) - (max(batch, nsh) % nsh)
+        pt_sharding = NamedSharding(mesh, P('chains', None))
+
+        def shard_pts(x):
+            return jax.lax.with_sharding_constraint(x, pt_sharding)
+    else:
+        def shard_pts(x):
+            return x
     n_scan = max(1, -(-max_iter // batch))
 
     v_loglike = jax.vmap(lambda u: log_like(prior_transform(u)))
 
     key, k_init = random.split(key)
     live_u = random.uniform(k_init, (nlive, ndim))
-    live_logl = v_loglike(live_u)
+    live_logl = jax.jit(
+        lambda u: v_loglike(shard_pts(u))
+    )(live_u)
     gamma = 2.38 / np.sqrt(ndim)
 
     def ns_step(state, key):
@@ -178,7 +201,7 @@ def sample_nested(
         src = order[batch + random.randint(
             k_pick, (batch,), 0, nlive - batch,
         )]
-        u0 = live_u[src]
+        u0 = shard_pts(live_u[src])
         logl0 = live_logl[src]
 
         # Full-covariance proposal scale from the live set:
@@ -194,7 +217,7 @@ def sample_nested(
                 scale * gamma * random.normal(k1, (batch, ndim))
                 @ chol.T
             )
-            prop = jnp.clip(u + step, 1e-10, 1.0 - 1e-10)
+            prop = shard_pts(jnp.clip(u + step, 1e-10, 1.0 - 1e-10))
             logl_prop = v_loglike(prop)
             accept = logl_prop > logl_star
             u = jnp.where(accept[:, None], prop, u)

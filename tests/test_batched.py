@@ -138,3 +138,61 @@ def test_batched_eclipse_log_posterior(flagship_eclipse):
     assert finite.sum() >= 3
     np.testing.assert_allclose(got[finite], ref[finite], rtol=1e-10)
     np.testing.assert_array_equal(np.isfinite(got), finite)
+
+
+def test_batched_hires_matches_vmap(tmp_path):
+    """High-res channel on the batched hot path: grouped convolution +
+    RV-shifted (or fixed-grid) resampling == the per-chain forward."""
+    from pyratbay_tpu.io import io as pio
+    from pyratbay_tpu.observation import Observation
+    from pyratbay_tpu.retrieval import RetrievalParams
+
+    workdir = str(tmp_path / 'flag_hires')
+    model, obs0, ret0, fwd0, p0 = make_flagship(
+        workdir, nlayers=21, wl_low=1.1, wl_high=1.3, wnstep=2.0,
+    )
+    wl_hires = np.linspace(1.15, 1.25, 40)
+    hires_file = workdir + '/hires_obs.dat'
+    pio.write_observations(
+        hires_file,
+        np.full(40, 0.0066), np.full(40, 1e-5),
+        [f'{wl:.6f} 0.0001 HIRES' for wl in wl_hires],
+    )
+    cfg = model.cfg
+    cfg.obsfile_hires = hires_file
+    cfg.inst_resolution = 20000.0
+    base_params = cfg.retrieval_params
+
+    for with_rv in (True, False):
+        cfg.retrieval_params = base_params + (
+            '\n    rv_shift   10.0  -100.0  100.0  5.0'
+            if with_rv else ''
+        )
+        obs = Observation(cfg, model.wn)
+        obs.data = np.full(obs.nbands, 0.0066)
+        obs.uncert = np.full(obs.nbands, 2e-5)
+        ret = RetrievalParams(model, obs)
+        assert (ret.irv is not None) == with_rv
+
+        from pyratbay_tpu.retrieval import build_forward
+        forward = build_forward(model, obs, ret)
+        forward_b = build_forward_batched(model, obs, ret)
+        assert not forward_b.is_fallback
+
+        pars = np.tile(np.asarray(ret.params), (4, 1))
+        if with_rv:
+            pars[:, ret.irv] = [10.0, -50.0, 0.0, 75.0]
+        pars[1, 2] += 0.3
+        pb = jnp.asarray(pars)
+        ref = jax.jit(jax.vmap(
+            lambda p: forward(p)['bandflux_hires']))(pb)
+        got = jax.jit(forward_b)(pb)['bandflux_hires']
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-8,
+        )
+
+        log_post_b = build_log_posterior_batched(model, obs, ret)
+        lp_ref = np.asarray(jax.jit(jax.vmap(
+            build_log_posterior(model, obs, ret)))(pb))
+        lp_got = np.asarray(jax.jit(log_post_b)(pb))
+        np.testing.assert_allclose(lp_got, lp_ref, rtol=1e-8)

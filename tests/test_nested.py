@@ -154,3 +154,36 @@ def test_nested_bootstrap_err_calibrated():
     assert np.all(np.abs(logzs) < 4 * np.asarray(errs) + 0.1)
     assert err < 4 * scatter + 0.1
     assert scatter < 4 * err + 0.1
+
+
+def test_nested_sharded_matches_single_device():
+    """The mesh-sharded nested run (8 virtual devices, 'chains' axis)
+    reproduces the single-device run: the sharding only distributes
+    the batched likelihood, it does not touch the algorithm's
+    randomness."""
+    from pyratbay_tpu.parallel.sharded import make_mesh
+
+    d = 3
+
+    def loglike(theta):
+        return -0.5 * jnp.sum(theta**2)
+
+    def prior_transform(u):
+        return 10.0 * u - 5.0
+
+    kw = dict(
+        nlive=128, max_iter=512, nsteps_walk=10, batch=16,
+        key=jax.random.PRNGKey(3),
+    )
+    single = sample_nested(loglike, prior_transform, d, **kw)
+    mesh = make_mesh(jax.devices())
+    assert mesh.shape['chains'] * mesh.shape['wave'] == 8
+    sharded = sample_nested(
+        loglike, prior_transform, d, mesh=mesh, **kw)
+
+    np.testing.assert_allclose(
+        sharded['logz'], single['logz'], rtol=1e-10)
+    np.testing.assert_allclose(
+        sharded['samples'], single['samples'], rtol=1e-10)
+    np.testing.assert_allclose(
+        sharded['weights'], single['weights'], rtol=1e-8, atol=1e-300)
