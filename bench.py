@@ -65,6 +65,22 @@ def _rate(fn, n_iter):
     return (time.perf_counter() - start) / n_iter
 
 
+def _rate_stats(fn, n_iter, repeats=3):
+    """Repeat _rate and report (median_dt, spread_pct).
+
+    Run-to-run variance on the shared axon tunnel reached tens of
+    percent in round 4 (README quoted a builder run 28% above the
+    driver capture); every headline metric now carries its own
+    within-run spread so single numbers can be read with error bars.
+    spread_pct = 100 * (max - min) / median over `repeats` repeats.
+    """
+    dts = sorted(_rate(fn, n_iter) for _ in range(repeats))
+    med = dts[len(dts) // 2] if repeats % 2 else (
+        0.5 * (dts[repeats // 2 - 1] + dts[repeats // 2]))
+    spread = 100.0 * (dts[-1] - dts[0]) / med if med > 0 else 0.0
+    return med, round(spread, 1)
+
+
 def main():
     import jax
     # Persistent compilation cache: tunnel compiles of the big vmapped
@@ -120,7 +136,7 @@ def main():
         }))
         return 1
 
-    elapsed = _rate(lambda: batched(params), n_iter)
+    elapsed, spread_pct = _rate_stats(lambda: batched(params), n_iter)
     spectra_per_s = batch / elapsed
     _stage('flagship: measured')
 
@@ -196,6 +212,7 @@ def main():
         'metric': f'forward-model throughput ({backend}, batch={batch}, '
                   f'{model.nlayers}x{nwave} grid, f32)',
         'value': round(spectra_per_s, 1),
+        'value_spread_pct': spread_pct,
         'unit': 'spectra/s',
         'vs_baseline': (
             None if vs_baseline is None else round(vs_baseline, 2)
@@ -275,16 +292,50 @@ def _lbl_rates(n_iter=50, block=8):
 
     # The batched entry routes the wing/core passes through the pallas
     # kernels on TPU (opacity/lbl_pallas.py); PBT_LBL_PALLAS=0 falls
-    # back to the XLA lowering:
+    # back to the XLA lowering.  Measured as an 8-block lax.map sweep
+    # (how tabulate() actually runs): the axon tunnel serializes a
+    # ~0.9 ms host dispatch with each device program, so single-block
+    # dispatch rates understate the device by ~1.7x -- that overhead
+    # is reported separately below:
+    from jax import lax
+    nblk = 8
+    tb = direct.tables()
+    t_all = np.tile(temps, nblk).reshape(nblk, block)
+    d_all = np.tile(dens, (nblk, 1)).reshape(nblk, block, -1)
+    p_all = np.tile(pf, (nblk, 1)).reshape(nblk, block, -1)
+    sweep = jax.jit(lambda t, d, p: jnp.sum(lax.map(
+        lambda a: direct._cross_section_batch(tb, *a), (t, d, p),
+    )))
+    sweep_args = (
+        jnp.asarray(t_all, jnp.float32),
+        jnp.asarray(d_all, jnp.float32),
+        jnp.asarray(p_all, jnp.float32),
+    )
     batched = jax.jit(direct._cross_section_batch)
     args = (
-        direct.tables(),
+        tb,
         jnp.asarray(temps, jnp.float32),
         jnp.asarray(dens, jnp.float32),
         jnp.asarray(pf, jnp.float32),
     )
-    dt = _rate(lambda: batched(*args), n_iter)
-    pairs = direct.ntiles * direct.tile * direct.lmax * block
+    dt_sweep, spread_pct = _rate_stats(
+        lambda: sweep(*sweep_args), max(5, n_iter // 5))
+    dt = dt_sweep / nblk
+    dt_single, _ = _rate_stats(lambda: batched(*args), n_iter)
+    # Padded pairs = the pallas wing layout's actual pair count
+    # (grouped fine sub-tiles, opacity/lbl_pallas.py::
+    # wing_sigma_grouped) + the core pass:
+    lpad_wf = -(-direct.lmax_wf // 128) * 128
+    ntpad_wf = (
+        -(-direct.ntiles_wf // direct.wing_group) * direct.wing_group
+    )
+    core_group = max(1, 128 // direct.tile_core)
+    lpad_c = -(-direct.lmax_core // 128) * 128
+    ntpad_c = -(-direct.ntiles_core // core_group) * core_group
+    pairs = block * (
+        ntpad_wf * direct.tile_wing * lpad_wf
+        + ntpad_c * direct.tile_core * lpad_c
+    )
     line_density = len(lines.lwn) / (lines.lwn[-1] - lines.lwn[0])
     eff_pairs = (
         block * direct.nwave * 2.0 * direct.cutoff * line_density
@@ -292,7 +343,13 @@ def _lbl_rates(n_iter=50, block=8):
     rates = {
         'lbl_line_pairs_per_s': round(pairs / dt / 1e9, 2),
         'lbl_effective_pairs_per_s': round(float(eff_pairs / dt / 1e9), 2),
+        'lbl_rate_spread_pct': spread_pct,
         'lbl_grid_points_per_s': round(block * direct.nwave / dt, 1),
+        'lbl_wing_subtile_pts': int(direct.tile_wing),
+        # Per-dispatch host overhead on this tunnel (single-block
+        # dispatch minus the sweep-amortized device time):
+        'lbl_dispatch_overhead_ms': round(
+            max(dt_single - dt, 0.0) * 1e3, 2),
     }
 
     # Full opacity-tabulation throughput (10 T x 51 layers).
@@ -311,8 +368,39 @@ def _lbl_rates(n_iter=50, block=8):
     table = direct.tabulate(tab_temps, press, vmr_prof)
     dt_tab = time.perf_counter() - start
     npoints = table.size
-    rates['tabulation_points_per_s'] = round(npoints / dt_tab, 1)
-    rates['tabulation_seconds'] = round(dt_tab, 2)
+
+    # The end-to-end number above INCLUDES fetching the ~6.5 MB table
+    # through the tunnel's 5-30 MB/s d2h path, which dominates it and
+    # made it swing 8x between rounds (5.90M r03 vs 0.70M r04 -- a
+    # measurement artifact, not a kernel regression).  The device-
+    # bound rate times the same sweep program with a single scalar
+    # sync instead:
+    sweep = direct._sweep
+    tbl = direct.tables()
+    cells_t = np.repeat(tab_temps, 51).astype(np.float32)
+    dens_c = (vmr_prof[None].repeat(10, 0).reshape(510, -1)
+              * (np.tile(press, 10)[:, None] * 1.01325e6
+                 / (1.380649e-16 * cells_t[:, None]))).astype(np.float32)
+    pf_c = lines.iso_pf(cells_t).T.astype(np.float32)
+    tab_block = 64  # tabulate()'s default: reuses its compiled sweep
+    nb = -(-510 // tab_block)
+    pad = nb * tab_block - 510
+    targs3 = tuple(
+        jnp.asarray(np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                           mode='edge')
+                    .reshape(nb, tab_block, -1).squeeze())
+        for a in (cells_t, dens_c, pf_c)
+    )
+    # Scalar-reduced output: _rate's syncs then move 4 bytes, not the
+    # 6.5 MB table (the sweep itself still runs in full):
+    dev_fn = jax.jit(lambda: jnp.sum(sweep(tbl, *targs3)))
+    dt_dev, tab_spread = _rate_stats(dev_fn, max(3, n_iter // 10))
+    rates['tabulation_points_per_s'] = round(npoints / dt_dev, 1)
+    rates['tabulation_rate_spread_pct'] = tab_spread
+    rates['tabulation_device_seconds'] = round(dt_dev, 3)
+    rates['tabulation_with_fetch_seconds'] = round(dt_tab, 2)
+    rates['tabulation_with_fetch_points_per_s'] = round(
+        npoints / dt_tab, 1)
     rates['tabulation_compile_seconds'] = round(dt_compile, 2)
     return rates
 
@@ -565,7 +653,13 @@ def _production_table(nspec=5, ntemp=24, nlayers=51, nwave=200_000):
 
     t_compile = 0.0
     t0_all = time.perf_counter()
-    out = None
+    # Every block's output stays DEVICE-RESIDENT until the end (round
+    # 4 overwrote `out` per block, so dropped buffers could be
+    # recycled in ways a real tabulation -- which must keep or stream
+    # every [block, nspec, nwave] result -- cannot; the table here is
+    # nspec * ncells * nwave * 4 B ~ 4.9 GB, held on HBM like a real
+    # sweep would before streaming to npz):
+    resident = []
     for ispec in range(nspec):
         lines = _synthetic_lines(seed=ispec)
         lines.wn = np.linspace(5882.0, 9091.0, nwave)
@@ -576,7 +670,7 @@ def _production_table(nspec=5, ntemp=24, nlayers=51, nwave=200_000):
         )
         pf = lines.iso_pf(cells_t).T
         batched = jax.jit(direct._cross_section_batch)
-        tbl = direct.tables()
+        tbl = jax.device_put(direct.tables())
         for lo in range(0, nblocks * block, block):
             t_args = (
                 jnp.asarray(cells_t[lo:lo + block], jnp.float32),
@@ -588,15 +682,21 @@ def _production_table(nspec=5, ntemp=24, nlayers=51, nwave=200_000):
                 out = batched(tbl, *t_args)
                 jax.block_until_ready(out)
                 t_compile = time.perf_counter() - t_c
+                resident.append(out)
             else:
-                out = batched(tbl, *t_args)
-    _sync(out)
+                resident.append(batched(tbl, *t_args))
+    # np.asarray on the LAST block is the real sync (in-order device
+    # stream; block_until_ready can return early on the axon tunnel):
+    _sync(resident[-1])
     wall = time.perf_counter() - t0_all - t_compile
+    n_resident = len(resident)
+    del resident
     points = nspec * ntemp * nlayers * nwave
     return {
         'production_table': {
             'nspec': nspec, 'ntemp': ntemp, 'nlayers': nlayers,
             'nwave': nwave, 'points': points,
+            'device_resident_blocks': n_resident,
             'device_seconds': round(wall, 1),
             'compile_seconds': round(t_compile, 1),
             'points_per_s': round(points / wall, 1),

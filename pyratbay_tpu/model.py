@@ -1403,6 +1403,51 @@ class Model:
             fw.write('Temperature model: {}', self.cfg.tmodelname)
         if self.rmodelname is not None:
             fw.write('Radius model: {}', self.rmodelname)
+        # System/atmosphere block (the reference's pyrat.atm dump
+        # capability, pyrat/atmosphere.py __str__):
+        fw.write('System:')
+        if self.rplanet is not None:
+            fw.write(
+                '  Planet radius (rplanet): {:.3f} rjup',
+                float(self.rplanet) / pc.rjup,
+            )
+        if self.mplanet is not None:
+            fw.write(
+                '  Planet mass (mplanet): {:.3f} mjup',
+                float(self.mplanet) / pc.mjup,
+            )
+        if self.rstar is not None:
+            fw.write(
+                '  Stellar radius (rstar): {:.3f} rsun',
+                float(self.rstar) / pc.rsun,
+            )
+        if self.tstar is not None:
+            fw.write(
+                '  Stellar temperature (tstar): {:.1f} K',
+                float(self.tstar),
+            )
+        if self.smaxis is not None:
+            fw.write(
+                '  Semi-major axis (smaxis): {:.4f} au',
+                float(self.smaxis) / pc.au,
+            )
+        if np.isfinite(self.rhill):
+            fw.write(
+                '  Hill radius (rhill): {:.3f} rjup',
+                float(self.rhill) / pc.rjup,
+            )
+        # Last-run optical-depth block (the reference's pyrat.od dump
+        # capability, pyrat/optic_depth ... objects.py __str__):
+        if getattr(self, 'ideep', None) is not None:
+            ideep = np.asarray(self.ideep)
+            fw.write('Optical depth (last run):')
+            fw.write('  Maximum depth to integrate (maxdepth): {:.2f}',
+                     float(self.maxdepth))
+            fw.write(
+                '  ideep range (first layer at maxdepth): '
+                '[{:d}, {:d}] of {:d} layers',
+                int(ideep.min()), int(ideep.max()), self.nlayers,
+            )
         if getattr(self, 'timestamps', None):
             fw.write('Last-run timestamps (s):')
             for key, val in self.timestamps.items():

@@ -177,6 +177,36 @@ class LineByLine:
         self.resolution_mode = resolution_mode
         self.mol = list(self.species)
 
+    def __str__(self):
+        """Inspection dump (capability of the reference's
+        pyrat/line_by_line.py __str__)."""
+        from ..tools import Formatted_Write
+        fw = Formatted_Write()
+        fw.write('Line-by-line opacity model:')
+        fw.write('Input TLI files (tlifiles): {}', list(self.tlifiles))
+        fw.write('Number of databases (ndb): {:d}', len(self.db))
+        for db in self.db:
+            fw.write('  {} ({:d} isotopes)', db.name, db.niso)
+        fw.write(
+            'Number of line transitions (ntransitions): {:,d}',
+            int(self.ntransitions),
+        )
+        fw.write(
+            'Wavenumber range: {:.3f} -- {:.3f} cm-1 ({:d} samples)',
+            float(self.wn[0]), float(self.wn[-1]), self.nwave,
+        )
+        fw.write(
+            'Temperature range (tmin, tmax): [{:.1f}, {:.1f}] K',
+            float(self.tmin), float(self.tmax),
+        )
+        fw.write('Wing cutoff (voigt_cutoff): {:.1f} cm-1', self.cutoff)
+        fw.write('Isotopes (iso_name, mass, ratio):')
+        for name, mass, ratio in zip(
+                self.iso_name, self.iso_mass, self.iso_ratio):
+            fw.write('  {:8s} {:8.4f}  {:.3e}', str(name), float(mass),
+                     float(ratio))
+        return fw.text
+
     def iso_pf(self, temperature):
         """Partition function per isotope at given temperatures."""
         temperature = np.atleast_1d(temperature)

@@ -53,7 +53,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.special import wofz_real
 
-__all__ = ['wing_sigma', 'core_sigma']
+__all__ = ['wing_sigma', 'wing_sigma_grouped', 'core_sigma']
+
+
+def _series(u, a):
+    """The shared 5-term asymptotic S(u, a) (lbl_tpu._wing_series;
+    imported lazily to avoid a circular import)."""
+    from .lbl_tpu import _wing_series
+    return _wing_series(u, a)
 
 
 def _round_up(value, mult):
@@ -90,7 +97,7 @@ def _wing_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, c1_ref, y2_ref,
     else:
         u = 1.0 / d
     a = x2 * u
-    s = 1.0 + u * (2.0 * a - 0.5) + (u * u) * ((12.0 * a - 9.0) * a + 0.75)
+    s = _series(u, a)
     adwn = jnp.abs(dwn)
     mask = (adwn > margin) & (adwn <= cutoff)
     contrib = jnp.where(mask, c1 * u * s, 0.0)
@@ -254,6 +261,232 @@ def wing_sigma(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad,
         # [ncell, ntiles, nsp, tile] -> [ncell, nsp, ntiles, tile]:
         return jnp.moveaxis(out, 2, 1)
     return out.reshape(ncell, ntiles, tile)
+
+
+def _wing_grouped_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, c1_ref,
+                         y2_ref, iad_ref, *rest, margin, cutoff,
+                         approx_recip, group, tile_pts, multispec):
+    """One (cell, tile-group, line-chunk) grid step of the grouped
+    wing pass.
+
+    Statically unrolled loop over the group's sub-tiles: each
+    iteration works on a [tile_pts, lchunk] pair block whose line
+    factors are single [1, lchunk] rows (free lane-row broadcasts
+    along sublanes).  An earlier [group*tile_pts, lchunk] whole-block
+    formulation needed every factor replicated across sublanes
+    (broadcast+reshape), which cost as much as the masked pairs it
+    saved -- measured 9.3 vs 22 Gpair/s on v5e."""
+    if multispec:
+        oh_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    j = pl.program_id(2)
+
+    for g in range(group):
+        wh = wnh_ref[0, g]                             # [tile_pts, 1]
+        wl = wnl_ref[0, g]
+        lh = lwh_ref[0, g, :][None, :]                 # [1, lchunk]
+        ll = lwl_ref[0, g, :][None, :]
+        c1 = c1_ref[0, 0, g, :][None, :]
+        y2 = y2_ref[0, 0, g, :][None, :]
+        iad = iad_ref[0, 0, g, :][None, :]
+
+        dwn = (wh - lh) + (wl - ll)                    # [tile_pts, lc]
+        x2 = (dwn * iad) ** 2
+        d = x2 + y2
+        if approx_recip:
+            r = pl.reciprocal(d, approx=True)
+            u = r * (2.0 - d * r)      # one Newton step: ~1e-7 rel
+        else:
+            u = 1.0 / d
+        a = x2 * u
+        s = _series(u, a)
+        adwn = jnp.abs(dwn)
+        mask = (adwn > margin) & (adwn <= cutoff)
+        contrib = jnp.where(mask, c1 * u * s, 0.0)
+
+        if multispec:
+            oh = oh_ref[0]             # [nsp*group, lchunk], spec-major
+            nsp = oh.shape[0] // group
+            for si in range(nsp):
+                part = jnp.sum(
+                    contrib * oh[si * group + g, :][None, :], axis=1,
+                )
+
+                @pl.when(j == 0)
+                def _(si=si, part=part):
+                    out_ref[0, 0, si, g, :] = part
+
+                @pl.when(j > 0)
+                def _(si=si, part=part):
+                    out_ref[0, 0, si, g, :] = (
+                        out_ref[0, 0, si, g, :] + part
+                    )
+        else:
+            part = jnp.sum(contrib, axis=1)            # [tile_pts]
+
+            @pl.when(j == 0)
+            def _(part=part):
+                out_ref[0, 0, 0, g, :] = part
+
+            @pl.when(j > 0)
+            def _(part=part):
+                out_ref[0, 0, 0, g, :] = out_ref[0, 0, 0, g, :] + part
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('margin', 'cutoff', 'group', 'lchunk',
+                     'interpret', 'approx_recip'),
+)
+def wing_sigma_grouped(wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad,
+                       spec_onehot=None, *, margin, cutoff, group=8,
+                       lchunk=4096, interpret=False, approx_recip=True):
+    """Grouped wing-pass cross section: fine sub-tiles on SUBLANES.
+
+    The lane-tiled wing kernel (wing_sigma) pays for its 128-point
+    tiles: every point processes the whole tile's candidate window
+    (tile span + 2*cutoff), so on coarse grids ~3/4 of the pairs are
+    outside the physical cutoff and masked to zero.  This variant uses
+    the core pass's layout instead -- sub-tiles of `tile_pts` points
+    on sublanes, each with its OWN tight window (sub-tile span +
+    2*cutoff) broadcast across its points -- cutting the masked
+    fraction to ~2*cutoff / (tile_pts*dwn + 2*cutoff).
+
+    Parameters
+    ----------
+    wn_hi, wn_lo: [ntiles, tile_pts] -- fine output tiles (hi/lo).
+    lwn_hi, lwn_lo: [ntiles, lmax] -- per-sub-tile line windows.
+    c1, y2, inv_ad: [ncell, ntiles, lmax] -- per-cell line factors.
+    spec_onehot: [ntiles, nspec, lmax] or None.
+    margin, cutoff: static core/wing split and wing cutoff (cm-1).
+    group: sub-tiles per grid step (group * tile_pts = 128 keeps the
+        pair block VPU-shaped).
+    lchunk: lines per inner grid step (VMEM blocking).
+
+    Returns
+    -------
+    sigma [ncell, ntiles, tile_pts] (or [ncell, nspec, ntiles,
+        tile_pts] with spec_onehot).
+    """
+    ncell, ntiles, lmax = c1.shape
+    tile_pts = wn_hi.shape[1]
+    dtype = c1.dtype
+    multispec = spec_onehot is not None
+    nsp = spec_onehot.shape[1] if multispec else 1
+
+    lchunk = min(lchunk, _round_up(lmax, 128))
+    lpad = _round_up(lmax, lchunk)
+    ntpad = _round_up(ntiles, group)
+    pad_t = ntpad - ntiles
+    pad_l = lpad - lmax
+    if pad_l:
+        # Padded lines sit 1e9 cm-1 away: the cutoff mask rejects them.
+        lwn_hi = jnp.pad(
+            lwn_hi, ((0, 0), (0, pad_l)), constant_values=1e9,
+        )
+        lwn_lo = jnp.pad(lwn_lo, ((0, 0), (0, pad_l)))
+        pad_c = ((0, 0), (0, 0), (0, pad_l))
+        c1 = jnp.pad(c1, pad_c)
+        y2 = jnp.pad(y2, pad_c, constant_values=1.0)
+        inv_ad = jnp.pad(inv_ad, pad_c)
+        if multispec:
+            spec_onehot = jnp.pad(
+                spec_onehot, ((0, 0), (0, 0), (0, pad_l)),
+            )
+    if pad_t:
+        # Padded tile rows replicate the last tile; the caller's
+        # [:ntiles] slice drops their outputs.
+        lwn_hi = jnp.pad(lwn_hi, ((0, pad_t), (0, 0)), mode='edge')
+        lwn_lo = jnp.pad(lwn_lo, ((0, pad_t), (0, 0)), mode='edge')
+        wn_hi = jnp.pad(wn_hi, ((0, pad_t), (0, 0)), mode='edge')
+        wn_lo = jnp.pad(wn_lo, ((0, pad_t), (0, 0)), mode='edge')
+        pad_c = ((0, 0), (0, pad_t), (0, 0))
+        c1 = jnp.pad(c1, pad_c)
+        y2 = jnp.pad(y2, pad_c, constant_values=1.0)
+        inv_ad = jnp.pad(inv_ad, pad_c)
+        if multispec:
+            spec_onehot = jnp.pad(
+                spec_onehot, ((0, pad_t), (0, 0), (0, 0)),
+            )
+    ngroup = ntpad // group
+    npts = group * tile_pts
+    nlchunk = lpad // lchunk
+
+    if interpret:
+        approx_recip = False
+
+    # Output points ship as [tile_pts, 1] COLUMNS per sub-tile (the
+    # kernel's pair blocks put points on sublanes; a lane slice at
+    # tile_pts offsets would not lower):
+    wn_hi = wn_hi.reshape(ngroup, group, tile_pts, 1)
+    wn_lo = wn_lo.reshape(ngroup, group, tile_pts, 1)
+    lwn_hi = lwn_hi.reshape(ngroup, group, lpad)
+    lwn_lo = lwn_lo.reshape(ngroup, group, lpad)
+    c1 = c1.reshape(ncell, ngroup, group, lpad)
+    y2 = y2.reshape(ncell, ngroup, group, lpad)
+    inv_ad = inv_ad.reshape(ncell, ngroup, group, lpad)
+
+    kernel = functools.partial(
+        _wing_grouped_kernel,
+        margin=float(margin), cutoff=float(cutoff),
+        approx_recip=approx_recip, group=group, tile_pts=tile_pts,
+        multispec=multispec,
+    )
+    wn_spec = pl.BlockSpec(
+        (1, group, tile_pts, 1), lambda b, g, j: (g, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    line_spec = pl.BlockSpec(
+        (1, group, lchunk), lambda b, g, j: (g, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    cell_spec = pl.BlockSpec(
+        (1, 1, group, lchunk), lambda b, g, j: (b, g, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [wn_spec, wn_spec, line_spec, line_spec,
+                cell_spec, cell_spec, cell_spec]
+    operands = [wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad]
+    if multispec:
+        oh = jnp.swapaxes(
+            spec_onehot.astype(dtype).reshape(
+                ngroup, group, nsp, lpad,
+            ), 1, 2,
+        ).reshape(ngroup, nsp * group, lpad)
+        in_specs.append(pl.BlockSpec(
+            (1, group * nsp, lchunk), lambda b, g, j: (g, 0, j),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(oh)
+    out = pl.pallas_call(
+        kernel,
+        grid=(ncell, ngroup, nlchunk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, nsp, group, tile_pts),
+            lambda b, g, j: (b, g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (ncell, ngroup, nsp, group, tile_pts), dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(22 + 2 * nsp) * ncell * ngroup * npts * lpad,
+            bytes_accessed=4 * (
+                2 * ngroup * npts + (2 + nsp) * ngroup * group * lpad
+                + 3 * ncell * ngroup * group * lpad
+                + nsp * ncell * ngroup * npts
+            ),
+            transcendentals=0,
+        ),
+    )(*operands)
+    if multispec:
+        out = jnp.moveaxis(out, 2, 1).reshape(
+            ncell, nsp, ntpad, tile_pts,
+        )
+        return out[:, :, :ntiles]
+    return out.reshape(ncell, ntpad, tile_pts)[:, :ntiles]
 
 
 def _core_kernel(wnh_ref, wnl_ref, lwh_ref, lwl_ref, scale_ref, y_ref,

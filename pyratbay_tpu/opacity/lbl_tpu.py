@@ -48,9 +48,27 @@ __all__ = ['DirectLBL']
 
 _SQRTLN2 = 0.83255461115769775635
 _SQRT_PI = 1.7724538509055159
-# Large-|z| boundary where the 3-term asymptotic series of w(z) is
-# accurate to ~2e-7 relative:
-_ASYMPTOTIC_Z = 14.0
+# Large-|z| boundary where the 5-term asymptotic series of w(z) is
+# accurate to ~1.3e-6 relative (~2e-7 past the 1.2x margin safety
+# factor; verified against scipy.wofz over the full y/x range).
+# Round 4 used 3 terms at |z| >= 14; two extra Horner terms (+6
+# flops/pair) halve the core/wing split distance, and the core pass's
+# full-Faddeeva pairs cost ~10x a wing pair:
+_ASYMPTOTIC_Z = 7.0
+
+
+def _wing_series(u, a):
+    """S(u, a) of the 5-term asymptotic Re[w]: Re w = y u S / sqrt(pi),
+    u = 1/(x^2+y^2), a = x^2 u (shared by the XLA and pallas wing
+    paths -- both must use the identical polynomial)."""
+    return (
+        1.0
+        + u * (2.0 * a - 0.5)
+        + u**2 * ((12.0 * a - 9.0) * a + 0.75)
+        + u**3 * (((120.0 * a - 150.0) * a + 45.0) * a - 1.875)
+        + u**4 * ((((1680.0 * a - 2940.0) * a + 1575.0) * a - 262.5)
+                  * a + 6.5625)
+    )
 
 
 def _split_hi_lo(values):
@@ -87,8 +105,9 @@ def _tile_ranges(wn_tiles, lwn, window):
 class DirectLBL:
     """Direct-evaluation LBL sampler over a static wavenumber grid."""
 
-    def __init__(self, lbl, wn=None, tile=128, cutoff=None, tile_core=8,
-                 margin=None, tmax_bound=None, use_pallas=None):
+    def __init__(self, lbl, wn=None, tile=128, cutoff=None, tile_core=4,
+                 margin=None, tmax_bound=None, use_pallas=None,
+                 tile_wing=None):
         """
         Parameters
         ----------
@@ -168,10 +187,30 @@ class DirectLBL:
             self.wn_tiles_core, self.lwn, self.margin,
         )
 
+        # Fine wing tiling (pallas path): sub-tiles of tile_wing
+        # points on SUBLANES with their own tight candidate windows
+        # (sub-tile span + 2*cutoff instead of 128-point span +
+        # 2*cutoff) -- on coarse grids this cuts the masked
+        # out-of-cutoff pair fraction from ~3/4 to ~1/4.  The width
+        # balances kernel pairs (~lmax_wf) against duplicated
+        # window-factor entries (~lmax_wf/tile_wing per point):
+        if tile_wing is None:
+            tile_wing = self._pick_wing_subtile()
+        self.tile_wing = int(tile_wing)
+        self.wing_group = max(1, 128 // self.tile_wing)
+        self.ntiles_wf = -(-self.nwave // self.tile_wing)
+        self.wn_tiles_wf = self._pad_tiles(
+            self.tile_wing, self.ntiles_wf,
+        )
+        self.starts_wf, self.lmax_wf = _tile_ranges(
+            self.wn_tiles_wf, self.lwn, self.cutoff,
+        )
+
         # (hi, lo) float-pair splits keep dnu = nu - nu0 accurate when
         # everything downcasts to float32 on the TPU:
         wn_hi, wn_lo = _split_hi_lo(self.wn_tiles)
         wnc_hi, wnc_lo = _split_hi_lo(self.wn_tiles_core)
+        wnwf_hi, wnwf_lo = _split_hi_lo(self.wn_tiles_wf)
 
         # Dense partition-function grid for jit-safe interpolation
         # (the host iso_pf interpolates per-isotope tables of varying
@@ -198,6 +237,9 @@ class DirectLBL:
         core_pad = self._pad_line_windows(
             self.starts_core, self.lmax_core, log_kbase,
         )
+        wf_pad = self._pad_line_windows(
+            self.starts_wf, self.lmax_wf, log_kbase,
+        )
 
         # Line data ships as jit arguments (a pytree), not closure
         # constants: multi-MB HLO literals stall remote compilation
@@ -207,6 +249,8 @@ class DirectLBL:
             'wn_tiles_lo': wn_lo,
             'wn_core_hi': wnc_hi,
             'wn_core_lo': wnc_lo,
+            'wn_wf_hi': wnwf_hi,
+            'wn_wf_lo': wnwf_lo,
             'iso_mass': self.iso_mass,
             'iso_ratio': self.iso_ratio,
             'iso_spec': self.iso_spec,
@@ -218,12 +262,14 @@ class DirectLBL:
             self._tables['w_' + key] = val
         for key, val in core_pad.items():
             self._tables['c_' + key] = val
+        for key, val in wf_pad.items():
+            self._tables['wf_' + key] = val
         if self.nspec > 1:
             # Static per-line species one-hots for the pallas kernels
             # (padded fake lines carry scale 0, so their species row
             # contributes nothing):
             spec_ids = np.arange(self.nspec)
-            for pre in ('w_', 'c_'):
+            for pre in ('w_', 'c_', 'wf_'):
                 spec_w = self.iso_spec[self._tables[pre + 'iso']]
                 self._tables[pre + 'spec_oh'] = (
                     spec_w[:, None, :] == spec_ids[None, :, None]
@@ -233,6 +279,27 @@ class DirectLBL:
         self._device_tables = None
         self._sweep = None
         self._sweep_mode = None
+
+    def _pick_wing_subtile(self):
+        """Fine wing sub-tile width minimizing estimated pass cost.
+
+        Per output point: kernel pairs ~ lmax_wf(pts) plus duplicated
+        per-cell window-factor entries ~ lmax_wf(pts)/pts.  The factor
+        coefficient (one entry ~ 60x a wing pair: XLA transcendental
+        chain + 6 HBM touches vs an in-VMEM 22-flop pair) was fitted
+        on the v5e from a {16,32,64,128}-point sweep of the 50k-line
+        bench probe and reproduces the held-out 32-point timing to
+        1%.  Evaluates the real window sizes per dataset (grid
+        spacing and line density vary)."""
+        best_pts, best_cost = 128, np.inf
+        for pts in (8, 16, 32, 64, 128):
+            ntiles = -(-self.nwave // pts)
+            tiles = self._pad_tiles(pts, ntiles)
+            _, lmax = _tile_ranges(tiles, self.lwn, self.cutoff)
+            cost = lmax * (1.0 + 60.0 / pts)
+            if cost < best_cost:
+                best_pts, best_cost = pts, cost
+        return best_pts
 
     def _pad_line_windows(self, starts, lmax, log_kbase):
         """Static per-tile line windows [ntiles, lmax] (host)."""
@@ -249,12 +316,21 @@ class DirectLBL:
             log_kbase = np.concatenate([log_kbase, np.full(npad, -700.0)])
         idx = starts[:, None].astype(np.int64) + np.arange(lmax)[None, :]
         lwn_hi, lwn_lo = _split_hi_lo(lwn[idx])
+        # Static per-entry Doppler coefficient: inv_ad = inv_dop /
+        # sqrt(T) at runtime -- the iso-mass gather happens ONCE here
+        # on the host instead of per cell on device:
+        k_iso = (
+            np.sqrt(2.0 * pc.KB_KERNEL / pc.AMU_KERNEL)
+            / pc.LS_KERNEL / np.sqrt(self.iso_mass)
+        )
+        inv_dop = 1.0 / (k_iso[isoid] * lwn)
         return {
             'lwn_hi': lwn_hi,
             'lwn_lo': lwn_lo,
             'logkb': log_kbase[idx],
             'elow': elow[idx],
             'iso': isoid[idx],
+            'inv_dop': inv_dop[idx],
         }
 
     def _pad_tiles(self, tile, ntiles):
@@ -301,19 +377,31 @@ class DirectLBL:
     def _window_factors(self, tables, prefix, temp, alphal_iso,
                         fdop_iso, iso_pf):
         """Per-call line factors in the padded [ntiles, lmax] layout:
-        (log_k, inv_ad, y2, y).  Only tiny [niso] gathers appear."""
+        (log_k, inv_ad, y).
+
+        Zero device gathers: the iso-mass Doppler coefficient is a
+        static per-entry table (inv_ad = inv_dop / sqrt(T)), and the
+        per-cell [niso] scalars broadcast through a static where-chain
+        over iso ids.  The gather formulation cost 0.8 ms per 8-cell
+        block on the v5e -- 40% of the whole sampling pipeline."""
         iso = tables[prefix + 'iso']
         lwn = tables[prefix + 'lwn_hi']   # f32 precision: fine for
         elow = tables[prefix + 'elow']    # strengths and widths
+        log_pf = jnp.log(iso_pf)
+        alphal_e = jnp.zeros_like(lwn)
+        logpf_e = jnp.zeros_like(lwn)
+        for k in range(len(self.iso_mass)):
+            m = iso == k
+            alphal_e = alphal_e + jnp.where(m, alphal_iso[k], 0.0)
+            logpf_e = logpf_e + jnp.where(m, log_pf[k], 0.0)
         log_k = (
             tables[prefix + 'logkb']
             - pc.EXPCTE * elow / temp
             + jnp.log(-jnp.expm1(-pc.EXPCTE * lwn / temp))
-            - jnp.log(iso_pf)[iso]
+            - logpf_e
         )
-        alphad = fdop_iso[iso] * lwn * _SQRTLN2   # Doppler HWHM
-        inv_ad = _SQRTLN2 / alphad                # x = dnu * inv_ad
-        y = alphal_iso[iso] * inv_ad
+        inv_ad = tables[prefix + 'inv_dop'] / jnp.sqrt(temp)
+        y = alphal_e * inv_ad
         return log_k, inv_ad, y
 
     def _spec_contract(self, tables, prefix, contrib, iso_row):
@@ -329,13 +417,13 @@ class DirectLBL:
         )
 
     def _wing_tile(self, tables, args):
-        """Wing pass for one tile: 3-term asymptotic Re[w(z)],
+        """Wing pass for one tile: 5-term asymptotic Re[w(z)],
         masked to margin < |dnu| <= cutoff.
 
         Uses the real-arithmetic Horner form of
-        w(z) ~ i/(sqrt(pi) z)(1 + q/2 + 3 q^2/4), q = 1/z^2:
-            Re w = y u (1 + u(2a - 1/2) + u^2(12a^2 - 9a + 3/4))
-                   / sqrt(pi),   a = x^2 u,  u = 1/(x^2 + y^2).
+        w(z) ~ (i/sqrt(pi)) sum_k (2k-1)!!/2^k z^-(2k+1):
+            Re w = y u S(u, a) / sqrt(pi),
+            a = x^2 u,  u = 1/(x^2 + y^2)   (see _wing_series).
         """
         wn_hi, wn_lo, lwn_hi, lwn_lo, c1, y2, inv_ad, iso_row = args
         dwn = (
@@ -345,8 +433,7 @@ class DirectLBL:
         x2 = (dwn * inv_ad[None, :])**2
         u = 1.0 / (x2 + y2[None, :])
         a = x2 * u
-        s = 1.0 + u * (2.0 * a - 0.5) \
-            + (u * u) * ((12.0 * a - 9.0) * a + 0.75)
+        s = _wing_series(u, a)
         adwn = jnp.abs(dwn)
         mask = (adwn > self.margin) & (adwn <= self.cutoff)
         contrib = jnp.where(mask, c1[None, :] * u * s, 0.0)
@@ -366,14 +453,18 @@ class DirectLBL:
         contrib = jnp.where(mask, voigt * scale[None, :], 0.0)
         return self._spec_contract(tables, 'c_', contrib, iso_row)
 
-    def _cell_factors(self, tables, temp, densities, iso_pf):
-        """Per-cell line factors for both passes, kmax-normalized."""
+    def _cell_factors(self, tables, temp, densities, iso_pf,
+                      wing_prefix='w_'):
+        """Per-cell line factors for both passes, kmax-normalized.
+
+        wing_prefix picks the wing window layout: 'w_' (lane-tiled,
+        XLA path) or 'wf_' (fine sub-tiles, grouped pallas path)."""
         temp = jnp.asarray(temp)
         alphal_iso, fdop_iso = self._layer_widths_t(
             tables, temp, densities,
         )
         logk_w, inv_ad_w, y_w = self._window_factors(
-            tables, 'w_', temp, alphal_iso, fdop_iso, iso_pf,
+            tables, wing_prefix, temp, alphal_iso, fdop_iso, iso_pf,
         )
         logk_c, inv_ad_c, y_c = self._window_factors(
             tables, 'c_', temp, alphal_iso, fdop_iso, iso_pf,
@@ -445,24 +536,25 @@ class DirectLBL:
                 self._cross_section, in_axes=(None, 0, 0, 0),
             )(tables, temps, densities, iso_pfs)
 
-        from .lbl_pallas import core_sigma, wing_sigma
+        from .lbl_pallas import core_sigma, wing_sigma_grouped
         fac = jax.vmap(
-            self._cell_factors, in_axes=(None, 0, 0, 0),
+            lambda tb, t, d, p: self._cell_factors(tb, t, d, p, 'wf_'),
+            in_axes=(None, 0, 0, 0),
         )(tables, temps, densities, iso_pfs)
         dtype = fac['c1_w'].dtype
         interpret = (mode == 'interpret')
         multi = self.nspec > 1
-        oh_w = tables['w_spec_oh'].astype(dtype) if multi else None
+        oh_w = tables['wf_spec_oh'].astype(dtype) if multi else None
         oh_c = tables['c_spec_oh'].astype(dtype) if multi else None
-        wing = wing_sigma(
-            tables['wn_tiles_hi'].astype(dtype),
-            tables['wn_tiles_lo'].astype(dtype),
-            tables['w_lwn_hi'].astype(dtype),
-            tables['w_lwn_lo'].astype(dtype),
+        wing = wing_sigma_grouped(
+            tables['wn_wf_hi'].astype(dtype),
+            tables['wn_wf_lo'].astype(dtype),
+            tables['wf_lwn_hi'].astype(dtype),
+            tables['wf_lwn_lo'].astype(dtype),
             fac['c1_w'], fac['y2_w'], fac['inv_ad_w'], oh_w,
             margin=self.margin, cutoff=self.cutoff,
-            interpret=interpret,
-        )   # [ncell, (nspec,) ntiles, tile]
+            group=self.wing_group, interpret=interpret,
+        )   # [ncell, (nspec,) ntiles_wf, tile_wing]
         ncell = wing.shape[0]
         core = core_sigma(
             tables['wn_core_hi'].astype(dtype),
@@ -470,7 +562,8 @@ class DirectLBL:
             tables['c_lwn_hi'].astype(dtype),
             tables['c_lwn_lo'].astype(dtype),
             fac['scale_c'], fac['y_c'], fac['inv_ad_c'], oh_c,
-            margin=self.margin, interpret=interpret,
+            margin=self.margin, group=max(1, 128 // self.tile_core),
+            interpret=interpret,
         )   # [ncell, (nspec,) ntiles_core, tile_core]
         sigma = (
             wing.reshape(ncell, self.nspec, -1)[:, :, :self.nwave]

@@ -369,9 +369,10 @@ def test_alkali_unknown_model():
         )
 
 
-def test_ensemble_transit_unsupported_fallback(flagship_obs):
-    # Not an error message, but the documented contract: non-transit
-    # configurations must fall back to vmap, flagged as such.
+def test_ensemble_unsupported_fallback(flagship_obs):
+    # Not an error message, but the documented contract: two-stream
+    # configurations (layer recurrences) fall back to vmap, flagged
+    # as such; plane-parallel emission runs the batched hot path.
     from pyratbay_tpu.benchmark import make_flagship
     from pyratbay_tpu.retrieval.batched import build_forward_batched
     import tempfile
@@ -379,9 +380,12 @@ def test_ensemble_transit_unsupported_fallback(flagship_obs):
     model, obs, ret, fwd, p0 = make_flagship(
         tmp, nlayers=21, wl_low=1.1, wl_high=1.3, wnstep=2.0,
     )
-    model.rt_path = 'emission'
+    model.rt_path = 'emission_two_stream'
     fb = build_forward_batched(model, obs, ret)
     assert fb.is_fallback
+    model.rt_path = 'emission'
+    fb = build_forward_batched(model, obs, ret)
+    assert not fb.is_fallback
 
 
 def test_pressure_bad_units():

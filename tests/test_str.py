@@ -189,3 +189,42 @@ def test_str_retrieval_params(flagship):
     assert 'Number of parameters (nparams): 7' in text
     assert "log_kappa'" in text and 'R_planet' in text
     assert 'Temperature bounds (tlow, thigh): [300.0, 3000.0] K' in text
+
+
+def test_str_lbl(tmp_path):
+    """Line-by-line engine inspection dump (the capability of the
+    reference's pyrat/line_by_line.py __str__, test_str.py:285-366
+    there): TLI files, databases, transition count, ranges, isotopes."""
+    from conftest import REFERENCE_ROOT, reference_available
+    import pytest as _pytest
+    if not reference_available():
+        _pytest.skip('reference inputs unavailable')
+    from pyratbay_tpu.opacity.tli import make_tli
+    from pyratbay_tpu.opacity.lbl import LineByLine
+    from pyratbay_tpu.ops.grids import wavenumber_grid
+    from pyratbay_tpu.io.io import species_properties
+
+    tli = str(tmp_path / 'mock_h2o.tli')
+    make_tli(
+        [REFERENCE_ROOT + 'tests/inputs/Mock_HITRAN_H2O_1.00-1.01um.par'],
+        ['tips'], ['hitran'], tli, 1.00, 1.01, 'um',
+    )
+    grid = wavenumber_grid(
+        wl_low=1.001e-4, wl_high=1.009e-4, wnstep=1.0, wnosamp=2160,
+    )
+    species = ['H2', 'He', 'H2O']
+    mass, radius = species_properties(species)
+    lbl = LineByLine(
+        tli, wn=grid.wn, species=species,
+        mol_mass=mass, mol_radius=radius,
+        own=np.asarray(grid.own), wnosamp=grid.wnosamp,
+        ownstep=grid.ownstep, odivisors=np.asarray(grid.odivisors),
+        pressure=np.logspace(-6, 2, 11),
+    )
+    text = str(lbl)
+    assert text.startswith('Line-by-line opacity model:\n')
+    assert 'Number of databases (ndb): 1' in text
+    assert 'HITRAN H2O (4 isotopes)' in text
+    assert 'Number of line transitions (ntransitions):' in text
+    assert 'Wing cutoff (voigt_cutoff): 25.0 cm-1' in text
+    assert '116' in text and '126' in text

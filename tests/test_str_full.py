@@ -33,7 +33,22 @@ def _obj(flagship, kind, name=None):
 
 def test_strfull_model(flagship):
     text = str(_obj(flagship, 'model')).split('Last-run timestamps')[0]
-    assert text == "TPU-native radiative-transfer model:\nRun mode (runmode): spectrum\nRT path (rt_path): transit\nWavenumber range: 7692.31 -- 9090.31 cm-1 (700 samples)\nPressure range: 1.00e-06 -- 1.00e+02 bar (21 layers)\nSpecies: ['H2', 'He', 'H', 'Na', 'K', 'H2O', 'CH4', 'CO', 'CO2']\nOpacity models:\n  line sampling          (line_sample)  T = [300.0, 3000.0] K\n  sodium_vdw             (alkali)\n  CIA H2-H2              (cia)  T = [60.0, 3000.0] K\n  deck                   (cloud)\n  lecavelier             (cloud)\nTemperature model: guillot\nRadius model: hydro_m\n"
+    assert text == "TPU-native radiative-transfer model:\nRun mode (runmode): spectrum\nRT path (rt_path): transit\nWavenumber range: 7692.31 -- 9090.31 cm-1 (700 samples)\nPressure range: 1.00e-06 -- 1.00e+02 bar (21 layers)\nSpecies: ['H2', 'He', 'H', 'Na', 'K', 'H2O', 'CH4', 'CO', 'CO2']\nOpacity models:\n  line sampling          (line_sample)  T = [300.0, 3000.0] K\n  sodium_vdw             (alkali)\n  CIA H2-H2              (cia)  T = [60.0, 3000.0] K\n  deck                   (cloud)\n  lecavelier             (cloud)\nTemperature model: guillot\nRadius model: hydro_m\nSystem:\n  Planet radius (rplanet): 1.000 rjup\n  Planet mass (mplanet): 0.600 mjup\n  Stellar radius (rstar): 1.270 rsun\n  Stellar temperature (tstar): 5800.0 K\n  Semi-major axis (smaxis): 0.0450 au\n"
+
+
+def test_strfull_model_od_after_run(flagship):
+    """The last-run optical-depth block (the reference's pyrat.od dump
+    capability): maxdepth + ideep range appear after a run."""
+    model = _obj(flagship, 'model')
+    model.run()
+    text = str(model)
+    assert 'Optical depth (last run):' in text
+    assert '  Maximum depth to integrate (maxdepth): 10.00' in text
+    ideep = np.asarray(model.ideep)
+    assert (
+        f'  ideep range (first layer at maxdepth): '
+        f'[{ideep.min():d}, {ideep.max():d}] of 21 layers' in text
+    )
 
 
 def test_strfull_observation(flagship):
