@@ -172,6 +172,20 @@ def main():
         extras.update(_highres_rate())
     except Exception as exc:
         extras['highres_error'] = f'{type(exc).__name__}: {exc}'[:120]
+    # Secondary: eclipse-retrieval rate (fused emission ensemble):
+    _stage('emission retrieval rate')
+    try:
+        extras.update(_emission_retrieval_rate())
+    except Exception as exc:
+        extras['emission_retrieval_error'] = (
+            f'{type(exc).__name__}: {exc}'[:120])
+    # Secondary: high-res retrieval rate (batched hires channel):
+    _stage('hires retrieval rate')
+    try:
+        extras.update(_hires_retrieval_rate())
+    except Exception as exc:
+        extras['hires_retrieval_error'] = (
+            f'{type(exc).__name__}: {exc}'[:120])
     # Secondary: radiative-equilibrium iteration rate (runmode=radeq):
     _stage('radeq rate')
     try:
@@ -809,6 +823,85 @@ def _production_retrieval(nchains=1024, chunk_gens=500, max_chunks=70,
                 if sus_gens > 0 else None
             ),
         },
+    }
+
+
+def _emission_retrieval_rate(n_iter=20, batch=256):
+    """Eclipse-retrieval chain evaluations per second on the batched
+    hot path (fused plane-parallel emission kernel with in-kernel
+    Planck, spectrum/emission_pallas.py) -- the round-4 verdict's
+    missing mode (it fell back to per-chain vmap with its layout
+    copies)."""
+    import jax
+    import jax.numpy as jnp
+    from pyratbay_tpu.benchmark import make_flagship
+    from pyratbay_tpu.retrieval.batched import (
+        build_log_posterior_batched,
+    )
+
+    model, obs, ret, forward, p0 = make_flagship(rt_path='eclipse')
+    if obs.data is None:
+        band = np.asarray(jax.jit(forward)(jnp.asarray(p0))['bandflux'])
+        obs.data = band
+        obs.uncert = np.maximum(np.abs(band) * 0.03, 1e-12)
+    log_post_b = build_log_posterior_batched(model, obs, ret)
+    assert not getattr(log_post_b, 'is_fallback', False)
+    batched = jax.jit(log_post_b)
+    rng = np.random.default_rng(3)
+    params = jnp.asarray((
+        np.tile(p0, (batch, 1))
+        + 0.01 * rng.standard_normal((batch, len(p0)))
+    ).astype(np.float32))
+    dt, spread = _rate_stats(lambda: batched(params), n_iter)
+    return {
+        'emission_retrieval_evals_per_s': round(batch / dt, 1),
+        'emission_retrieval_spread_pct': spread,
+    }
+
+
+def _hires_retrieval_rate(n_iter=20, batch=64):
+    """High-res retrieval (instrumental convolution + retrieved RV +
+    resampled likelihood) on the batched hot path -- round 4 forced
+    the vmap fallback for any hires channel."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from pyratbay_tpu.benchmark import make_flagship
+    from pyratbay_tpu.io import io as pio
+    from pyratbay_tpu.observation import Observation
+    from pyratbay_tpu.retrieval import RetrievalParams
+    from pyratbay_tpu.retrieval.batched import (
+        build_log_posterior_batched,
+    )
+
+    workdir = tempfile.mkdtemp(prefix='pbt_hires_ret_')
+    model, obs0, ret0, fwd0, p0 = make_flagship(workdir)
+    wl_hires = np.linspace(1.15, 1.65, 4000)
+    hires_file = workdir + '/hires_obs.dat'
+    pio.write_observations(
+        hires_file, np.full(4000, 0.0066), np.full(4000, 1e-4),
+        [f'{wl:.6f} 0.0001 HIRES' for wl in wl_hires],
+    )
+    cfg = model.cfg
+    cfg.obsfile_hires = hires_file
+    cfg.inst_resolution = 25000.0
+    cfg.retrieval_params = cfg.retrieval_params + \
+        '\n    rv_shift   10.0  -100.0  100.0  5.0'
+    obs = Observation(cfg, model.wn)
+    ret = RetrievalParams(model, obs)
+    log_post_b = build_log_posterior_batched(model, obs, ret)
+    batched = jax.jit(log_post_b)
+    rng = np.random.default_rng(4)
+    params = jnp.asarray((
+        np.tile(np.asarray(ret.params), (batch, 1))
+        + 0.01 * rng.standard_normal((batch, len(ret.params)))
+    ).astype(np.float32))
+    dt, spread = _rate_stats(lambda: batched(params), n_iter)
+    return {
+        'hires_retrieval_evals_per_s': round(batch / dt, 1),
+        'hires_retrieval_spread_pct': spread,
+        'hires_retrieval_npoints': 4000,
     }
 
 

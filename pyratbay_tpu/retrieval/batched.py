@@ -170,6 +170,8 @@ def build_forward_batched(model, obs=None, ret=None):
         cloud_parts = []
         cia_ws = []
         cia_tabs = []
+        ls_ws = []
+        ls_tabs = []
         elem = None
         deck_itop = deck_rsurf = deck_tsurf = None
         have_deck = False
@@ -183,10 +185,6 @@ def build_forward_batched(model, obs=None, ret=None):
                 continue
 
             if mtype == 'line_sample':
-                # One flat einsum over the ensemble (a gather-lerp
-                # formulation was measured 2x slower: TPU row gathers
-                # dominate).  The batched-dot output still takes one
-                # layout copy in front of the RT kernel; acceptable:
                 tlo, w_hi = jax.vmap(m._t_weights)(temp)
                 w_t = _two_hot(tlo, w_hi, m.ntemp)      # [B, t, l]
                 ratios = (
@@ -200,6 +198,24 @@ def build_forward_batched(model, obs=None, ret=None):
                     * ratios[:, :, None]
                 )                                       # [B, s, l]
                 w_stl = w_t[:, None] * d_w[:, :, None]  # [B, s, t, l]
+                n_k = m.nspec * m.ntemp
+                if use_pallas and n_k <= 32:
+                    # In-kernel contraction (ensemble_pallas):
+                    # the [B, l, W] contribution buffer and its
+                    # batch-minor layout copy never materialize --
+                    # the kernel contracts per-chain weight columns
+                    # against the chain-invariant [K, l, wave-tile]
+                    # table slab:
+                    ls_ws.append(
+                        w_stl.reshape(nb, n_k, nlayers)[..., None],
+                    )
+                    ls_tabs.append(np.asarray(m.cs_table).reshape(
+                        n_k, nlayers, nwave))
+                    continue
+                # Large-K tables: one flat einsum over the ensemble
+                # (a gather-lerp formulation was measured 2x slower:
+                # TPU row gathers dominate).  The batched-dot output
+                # takes one layout copy in front of the RT kernel:
                 contrib = jnp.einsum(
                     'bstl,stlw->blw', w_stl,
                     jnp.asarray(m.cs_table),
@@ -252,7 +268,8 @@ def build_forward_batched(model, obs=None, ret=None):
             cloud_parts = [cloud_sum]
 
         def run_emission_rt(fused_e, parts_e, cloud_parts_e, cia_ws_e,
-                            cia_tabs_e, radius_e, temp_e, rtop_e,
+                            cia_tabs_e, ls_ws_e, ls_tabs_e,
+                            radius_e, temp_e, rtop_e,
                             ibottom_e, ditop, dtsurf, fpatchy_e, nb_e):
             """Plane-parallel emission over the ensemble: fused pallas
             kernel on TPU (in-kernel Planck + cumtrapz-matmul depth,
@@ -265,12 +282,17 @@ def build_forward_batched(model, obs=None, ret=None):
                 if cia_ws_e:
                     cia_w = jnp.concatenate(cia_ws_e, axis=2)
                     cia_tab = np.concatenate(cia_tabs_e, axis=0)
+                ls_w = ls_tab = None
+                if ls_ws_e:
+                    ls_w = jnp.concatenate(ls_ws_e, axis=1)
+                    ls_tab = np.concatenate(ls_tabs_e, axis=0)
 
                 def run_one(ec_parts, ibot, dit, dts):
                     return emission_flux_ensemble(
                         ec_parts, radius_e, temp_e, wn, quad_mu,
                         quad_w, rtop_e, ibot, deck_itop=dit,
                         deck_tsurf=dts, cia_w=cia_w, cia_tab=cia_tab,
+                        ls_w=ls_w, ls_tab=ls_tab,
                         maxdepth=maxdepth, max_lanes=ens_lanes,
                         chain_block=ens_cb,
                     )
@@ -339,13 +361,13 @@ def build_forward_batched(model, obs=None, ret=None):
             ibottom = jnp.full((nb,), nlayers)
 
         fused = use_pallas
-        if not parts and (not fused or not cia_ws):
+        if not parts and not fused:
             parts = [jnp.zeros((nb, nlayers, nwave))]
 
         if not is_transit:
             spectrum = run_emission_rt(
                 fused, parts, cloud_parts, cia_ws, cia_tabs,
-                radius, temp, rtop, ibottom,
+                ls_ws, ls_tabs, radius, temp, rtop, ibottom,
                 deck_itop if have_deck else None,
                 deck_tsurf if have_deck else None,
                 fpatchy, nb,
@@ -362,14 +384,17 @@ def build_forward_batched(model, obs=None, ret=None):
             if cia_ws:
                 cia_w = jnp.concatenate(cia_ws, axis=2)
                 cia_tab = np.concatenate(cia_tabs, axis=0)
-                if not parts:
-                    parts = [jnp.zeros((nb, nlayers, nwave))]
+            ls_w = ls_tab = None
+            if ls_ws:
+                ls_w = jnp.concatenate(ls_ws, axis=1)
+                ls_tab = np.concatenate(ls_tabs, axis=0)
 
             def run_ensemble(ec_parts, ibot, ditop, dsurf):
                 return transit_spectrum_ensemble(
                     ec_parts, path, rr, rstar_n, rtop, ibot,
                     deck_itop=ditop, deck_rsurf=dsurf,
-                    cia_w=cia_w, cia_tab=cia_tab, maxdepth=maxdepth,
+                    cia_w=cia_w, cia_tab=cia_tab,
+                    ls_w=ls_w, ls_tab=ls_tab, maxdepth=maxdepth,
                     max_lanes=ens_lanes, chain_block=ens_cb,
                 )
 

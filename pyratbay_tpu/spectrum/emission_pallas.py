@@ -114,27 +114,43 @@ def _planck(wn_row, wn3_row, temp_col):
 
 
 def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
-                     wn_ref, *rest, maxdepth, l8, cb, has_cia,
+                     wn_ref, *rest, maxdepth, l8, cb, has_cia, n_ls,
                      mu, weights):
+    rest = list(rest)
+    out_ref = rest.pop()
+    lsw_ref = lst_ref = ciaw_ref = ciat_ref = None
+    if n_ls:
+        lst_ref = rest.pop()
+        lsw_ref = rest.pop()
     if has_cia:
-        *part_refs, ciaw_ref, ciat_ref, out_ref = rest
-    else:
-        *part_refs, out_ref = rest
-        ciaw_ref = ciat_ref = None
+        ciat_ref = rest.pop()
+        ciaw_ref = rest.pop()
+    part_refs = rest
 
     wn_row = wn_ref[...]                          # [1, wt]
     wn3_row = wn_row * wn_row * wn_row
     dt = wn_row.dtype
 
     for c in range(cb):
-        ec = part_refs[0][c]                      # [l8, wt]
-        for ref in part_refs[1:]:
-            ec = ec + ref[c]
+        if part_refs:
+            ec = part_refs[0][c]                  # [l8, wt]
+            for ref in part_refs[1:]:
+                ec = ec + ref[c]
+        else:
+            ec = jnp.zeros(
+                (l8, out_ref.shape[-1]), out_ref.dtype,
+            )
         if has_cia:
             ec = ec + jnp.dot(
                 ciaw_ref[c], ciat_ref[...],
                 preferred_element_type=ec.dtype,
             )
+        if n_ls:
+            # In-kernel line-sample contraction (ensemble_pallas
+            # pattern): chain-invariant [K, l8, wt] slab x per-chain
+            # per-layer weight columns:
+            for k in range(n_ls):
+                ec = ec + lsw_ref[c, k] * lst_ref[k]
         # HIGHEST precision: the XLA reference computes this depth as
         # an exact-f32 cumsum; default (bf16-pass) MXU precision costs
         # ~3e-3 relative here because exp(-tau/mu) amplifies tau error:
@@ -194,7 +210,8 @@ def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
 
 def emission_flux_ensemble(
         ec_parts, radius, temp, wn, mu, weights, itop, ibottom,
-        deck_itop=None, deck_tsurf=None, cia_w=None, cia_tab=None, *,
+        deck_itop=None, deck_tsurf=None, cia_w=None, cia_tab=None,
+        ls_w=None, ls_tab=None, *,
         maxdepth=np.inf, interpret=False, chain_block=None,
         max_lanes=None,
     ):
@@ -233,6 +250,7 @@ def emission_flux_ensemble(
         tuple(float(m) for m in np.asarray(mu)),
         tuple(float(w) for w in np.asarray(weights)),
         itop, ibottom, deck_itop, deck_tsurf, cia_w, cia_tab,
+        ls_w, ls_tab,
         maxdepth=maxdepth, interpret=interpret,
         chain_block=chain_block, max_lanes=max_lanes,
     )
@@ -245,16 +263,23 @@ def emission_flux_ensemble(
 )
 def _emission_flux_ensemble(
         ec_parts, radius, temp, wn_row, mu, weights, itop, ibottom,
-        deck_itop, deck_tsurf, cia_w, cia_tab, *,
+        deck_itop, deck_tsurf, cia_w, cia_tab, ls_w, ls_tab, *,
         maxdepth, interpret, chain_block, max_lanes,
     ):
     ec_parts = list(ec_parts)
-    nb, nlayers, nwave = ec_parts[0].shape
+    if ec_parts:
+        nb, nlayers, nwave = ec_parts[0].shape
+        dt = ec_parts[0].dtype
+    else:
+        nb, nlayers = radius.shape
+        nwave = (ls_tab.shape[2] if ls_tab is not None
+                 else cia_tab.shape[1])
+        dt = jnp.float32
     npad, wtile = _wave_tile(nwave, max_lanes=max_lanes)
     cb = chain_block
     bpad = -(-nb // cb) * cb
-    dt = ec_parts[0].dtype
     has_cia = cia_w is not None
+    n_ls = 0 if ls_w is None else ls_w.shape[1]
 
     prep = jax.vmap(
         prep_emission_chain,
@@ -284,10 +309,13 @@ def _emission_flux_ensemble(
         if has_cia:
             cia_w = jnp.pad(
                 cia_w, pad_b + ((0, 0), (0, 0)), mode='edge')
+        if n_ls:
+            ls_w = jnp.pad(
+                ls_w, pad_b + ((0, 0), (0, 0), (0, 0)), mode='edge')
 
     kernel = functools.partial(
         _emission_kernel, maxdepth=float(maxdepth), l8=nlayers,
-        cb=cb, has_cia=has_cia, mu=mu, weights=weights,
+        cb=cb, has_cia=has_cia, n_ls=n_ls, mu=mu, weights=weights,
     )
     grid = (npad // wtile, bpad // cb)
     chain3 = lambda shape: pl.BlockSpec(
@@ -320,6 +348,17 @@ def _emission_flux_ensemble(
         ))
         operands.append(cia_w.astype(dt))
         operands.append(jnp.asarray(cia_tab, dt))
+    if n_ls:
+        in_specs.append(pl.BlockSpec(
+            (cb, n_ls, nlayers, 1), lambda i, j: (j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        in_specs.append(pl.BlockSpec(
+            (n_ls, nlayers, wtile), lambda i, j: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(ls_w.astype(dt))
+        operands.append(jnp.asarray(ls_tab, dt))
 
     kcia = cia_tab.shape[0] if has_cia else 0
     nmu = len(mu)

@@ -34,17 +34,28 @@ __all__ = ['transit_spectrum_ensemble']
 
 
 def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
-                     *rest, maxdepth, l8, cb, n_parts, has_cia):
+                     *rest, maxdepth, l8, cb, n_parts, has_cia,
+                     n_ls):
+    rest = list(rest)
+    out_ref = rest.pop()
+    lsw_ref = lst_ref = ciaw_ref = ciat_ref = None
+    if n_ls:
+        lst_ref = rest.pop()
+        lsw_ref = rest.pop()
     if has_cia:
-        *part_refs, ciaw_ref, ciat_ref, out_ref = rest
-    else:
-        *part_refs, out_ref = rest
-        ciaw_ref = ciat_ref = None
+        ciat_ref = rest.pop()
+        ciaw_ref = rest.pop()
+    part_refs = rest
 
     for c in range(cb):
-        ec = part_refs[0][c]                  # [l8, wt]
-        for ref in part_refs[1:]:
-            ec = ec + ref[c]
+        if part_refs:
+            ec = part_refs[0][c]              # [l8, wt]
+            for ref in part_refs[1:]:
+                ec = ec + ref[c]
+        else:
+            ec = jnp.zeros(
+                (l8, out_ref.shape[-1]), out_ref.dtype,
+            )
         if has_cia:
             # In-kernel CIA: [l8, K] x [K, wt] against the shared,
             # per-wave-tile-resident table:
@@ -52,6 +63,14 @@ def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
                 ciaw_ref[c], ciat_ref[...],
                 preferred_element_type=ec.dtype,
             )
+        if n_ls:
+            # In-kernel line-sample temperature/abundance contraction:
+            # the [K, l8, wt] table slab is chain-invariant (fetched
+            # once per wave tile), each chain contributes per-layer
+            # weight columns -- the [B, l, W] contribution buffer and
+            # its batch-minor layout copy never exist in HBM:
+            for k in range(n_ls):
+                ec = ec + lsw_ref[c, k] * lst_ref[k]
         depth = jnp.dot(
             path2_ref[c], ec, preferred_element_type=ec.dtype,
         )
@@ -64,7 +83,8 @@ def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
 
 def transit_spectrum_ensemble(
         ec_parts, path, radius, rstar, itop, ibottom,
-        deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None, *,
+        deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None,
+        ls_w=None, ls_tab=None, *,
         maxdepth=np.inf, interpret=False, chain_block=None,
         max_lanes=None,
     ):
@@ -77,7 +97,7 @@ def transit_spectrum_ensemble(
         chain_block = tuning.ENS_CHAIN_BLOCK
     return _transit_spectrum_ensemble(
         ec_parts, path, radius, rstar, itop, ibottom,
-        deck_itop, deck_rsurf, cia_w, cia_tab,
+        deck_itop, deck_rsurf, cia_w, cia_tab, ls_w, ls_tab,
         maxdepth=maxdepth, interpret=interpret,
         chain_block=chain_block, max_lanes=max_lanes,
     )
@@ -90,7 +110,8 @@ def transit_spectrum_ensemble(
 )
 def _transit_spectrum_ensemble(
         ec_parts, path, radius, rstar, itop, ibottom,
-        deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None, *,
+        deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None,
+        ls_w=None, ls_tab=None, *,
         maxdepth=np.inf, interpret=False, chain_block=None,
         max_lanes=None,
     ):
@@ -107,6 +128,12 @@ def _transit_spectrum_ensemble(
     deck_itop, deck_rsurf: [B] traced deck surfaces, or None.
     cia_w: [B, nlayers, K] CIA weights (all tables concatenated along
         K), or None.  cia_tab: [K, nwave] concatenated tables.
+    ls_w: [B, K2, nlayers, 1] line-sample layer weights (two-hot
+        temperature lerp x density x isotope ratio, all (species,
+        temp) rows of all tables concatenated along K2), or None.
+        ls_tab: [K2, nlayers, nwave] concatenated cross-section
+        slabs; the contraction happens in-kernel against the
+        chain-invariant per-wave-tile slab.
     maxdepth: static early-stop optical depth.
     chain_block: chains per grid step (static; B is padded up to a
         multiple).
@@ -116,14 +143,22 @@ def _transit_spectrum_ensemble(
     spectrum [B, nwave].
     """
     ec_parts = list(ec_parts)
-    nb, nlayers, nwave = ec_parts[0].shape
+    if ec_parts:
+        nb, nlayers, nwave = ec_parts[0].shape
+        dt = ec_parts[0].dtype
+    else:
+        # All extinction comes from in-kernel contractions:
+        nb, nlayers = path.shape[:2]
+        nwave = (ls_tab.shape[2] if ls_tab is not None
+                 else cia_tab.shape[1])
+        dt = jnp.float32
     # Defaults from the round-4 flagship sweep (512 chains, 51x3209):
     # (256 lanes, 32-chain blocks) beat (512,16)/(1664,8) by 5-8%:
     npad, wtile = _wave_tile(nwave, max_lanes=max_lanes)
     cb = chain_block
     bpad = -(-nb // cb) * cb
-    dt = ec_parts[0].dtype
     has_cia = cia_w is not None
+    n_ls = 0 if ls_w is None else ls_w.shape[1]
 
     path = path.astype(dt)
     path2 = jnp.pad(path, ((0, 0), (0, 0), (1, 0))) \
@@ -157,10 +192,13 @@ def _transit_spectrum_ensemble(
         if has_cia:
             cia_w = jnp.pad(
                 cia_w, pad_b + ((0, 0), (0, 0)), mode='edge')
+        if n_ls:
+            ls_w = jnp.pad(
+                ls_w, pad_b + ((0, 0), (0, 0), (0, 0)), mode='edge')
 
     kernel = functools.partial(
         _ensemble_kernel, maxdepth=float(maxdepth), l8=nlayers,
-        cb=cb, n_parts=len(ec_parts), has_cia=has_cia,
+        cb=cb, n_parts=len(ec_parts), has_cia=has_cia, n_ls=n_ls,
     )
     grid = (npad // wtile, bpad // cb)
     chain3 = lambda shape: pl.BlockSpec(
@@ -188,6 +226,17 @@ def _transit_spectrum_ensemble(
         ))
         operands.append(cia_w.astype(dt))
         operands.append(jnp.asarray(cia_tab, dt))
+    if n_ls:
+        in_specs.append(pl.BlockSpec(
+            (cb, n_ls, nlayers, 1), lambda i, j: (j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        in_specs.append(pl.BlockSpec(
+            (n_ls, nlayers, wtile), lambda i, j: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(ls_w.astype(dt))
+        operands.append(jnp.asarray(ls_tab, dt))
 
     kcia = cia_tab.shape[0] if has_cia else 0
     out = pl.pallas_call(
@@ -200,11 +249,13 @@ def _transit_spectrum_ensemble(
         out_shape=jax.ShapeDtypeStruct((bpad, npad), dt),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * bpad * nlayers * npad * (nlayers + kcia)
+            flops=2 * bpad * nlayers * npad * (nlayers + kcia + n_ls)
             + 30 * bpad * nlayers * npad,
             bytes_accessed=4 * (
                 len(ec_parts) * bpad * nlayers * nwave
-                + bpad * nlayers * nlayers + kcia * nwave
+                + bpad * nlayers * nlayers
+                + (kcia + n_ls * nlayers) * nwave
+                + bpad * nlayers * n_ls
                 + bpad * nwave
             ),
             transcendentals=bpad * nlayers * npad,

@@ -135,3 +135,35 @@ def test_emission_ensemble_cia():
         maxdepth=5.0, interpret=True, chain_block=2,
     ))
     np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+
+def test_emission_ensemble_inkernel_line_sample():
+    """In-kernel line-sample contraction == adding the einsum'd
+    contribution as an ec part."""
+    ec, radius, temp, wn, mu, weights = _setup(seed=13)
+    nb, nlayers, nwave = ec.shape
+    rng = np.random.default_rng(17)
+    K = 6
+    ls_w = rng.lognormal(-2.0, 1.0, (nb, K, nlayers))
+    ls_tab = rng.lognormal(-24.0, 1.5, (K, nlayers, nwave))
+    ls_ec = np.einsum('bkl,klw->blw', ls_w, ls_tab)
+
+    common = dict(
+        mu=mu, weights=weights, maxdepth=6.0, interpret=True,
+        chain_block=2,
+    )
+    ref = np.asarray(emission_flux_ensemble(
+        [jnp.asarray(ec + ls_ec, jnp.float32)],
+        jnp.asarray(radius), jnp.asarray(temp), wn,
+        itop=jnp.zeros(nb, int), ibottom=jnp.full(nb, nlayers),
+        **common,
+    ))
+    got = np.asarray(emission_flux_ensemble(
+        [jnp.asarray(ec, jnp.float32)],
+        jnp.asarray(radius), jnp.asarray(temp), wn,
+        itop=jnp.zeros(nb, int), ibottom=jnp.full(nb, nlayers),
+        ls_w=jnp.asarray(ls_w[..., None], jnp.float32),
+        ls_tab=np.asarray(ls_tab, np.float32),
+        **common,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=2e-4)

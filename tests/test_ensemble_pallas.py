@@ -81,3 +81,46 @@ def test_ensemble_no_cia_no_deck():
             depth, ideep, radius[b], 10.0, 0,
         ))
         np.testing.assert_allclose(got[b], ref, rtol=1e-12)
+
+
+def test_transit_ensemble_inkernel_line_sample():
+    """In-kernel line-sample contraction == adding the einsum'd
+    contribution as an ec part (transit kernel), including the
+    zero-ec-parts path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyratbay_tpu.atmosphere.geometry import transit_path_matrix
+    from pyratbay_tpu.spectrum.ensemble_pallas import (
+        transit_spectrum_ensemble,
+    )
+
+    rng = np.random.default_rng(23)
+    nb, nl, nw = 5, 30, 300
+    radius = (np.linspace(1.1, 1.0, nl)[None, :]
+              * (1 + 0.01 * rng.standard_normal((nb, 1))))
+    paths = np.stack([
+        np.asarray(transit_path_matrix(jnp.asarray(radius[b])))
+        for b in range(nb)
+    ])
+    K = 8
+    ls_w = rng.lognormal(0.0, 1.0, (nb, K, nl))
+    ls_tab = rng.lognormal(-2.0, 1.5, (K, nl, nw))
+    ls_ec = np.einsum('bkl,klw->blw', ls_w, ls_tab)
+    ls_ec *= np.exp(np.linspace(0, 6, nl))[None, :, None] * 1e-2
+    ls_tab_s = ls_tab * np.exp(np.linspace(0, 6, nl))[None, :, None] \
+        * 1e-2
+
+    common = dict(maxdepth=8.0, interpret=True, chain_block=2)
+    ref = np.asarray(transit_spectrum_ensemble(
+        [jnp.asarray(ls_ec, jnp.float32)],
+        jnp.asarray(paths), jnp.asarray(radius), 12.0,
+        jnp.zeros(nb, int), jnp.full(nb, nl), **common,
+    ))
+    got = np.asarray(transit_spectrum_ensemble(
+        [], jnp.asarray(paths), jnp.asarray(radius), 12.0,
+        jnp.zeros(nb, int), jnp.full(nb, nl),
+        ls_w=jnp.asarray(ls_w[..., None], jnp.float32),
+        ls_tab=np.asarray(ls_tab_s, np.float32),
+        **common,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=2e-4)

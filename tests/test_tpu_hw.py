@@ -27,8 +27,7 @@ def test_wing_kernel_approx_recip_matches_divide(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     out = np.load(out_file)
-    if str(out['backend']) != 'tpu':
-        pytest.skip(f"no TPU attached (backend={out['backend']})")
+    _maybe_skip_no_tpu(out['backend'])
     approx = out['approx'].astype(np.float64)
     exact = out['exact'].astype(np.float64)
     # One Newton step on the hardware approximate reciprocal leaves
@@ -56,10 +55,57 @@ def test_multispec_lbl_pallas_on_hardware(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     out = np.load(out_file)
-    if str(out['backend']) != 'tpu':
-        pytest.skip(f"no TPU attached (backend={out['backend']})")
+    _maybe_skip_no_tpu(out['backend'])
     sig_p = out['pallas'].astype(np.float64)
     sig_x = out['xla'].astype(np.float64)
     assert sig_p.shape == sig_x.shape and sig_p.ndim == 3
     scale = np.abs(sig_x).max(axis=-1, keepdims=True) + 1e-300
     assert np.max(np.abs(sig_p - sig_x) / scale) < 2e-4
+
+
+def _maybe_skip_no_tpu(backend):
+    """Skip on missing hardware ONLY when not explicitly required:
+    PBT_REQUIRE_TPU=1 turns the silent skip into a loud failure
+    (round-4 verdict: hardware checks must not skip silently in a
+    TPU-attached CI)."""
+    if str(backend) != 'tpu':
+        if os.environ.get('PBT_REQUIRE_TPU') == '1':
+            pytest.fail(
+                f'TPU required (PBT_REQUIRE_TPU=1) but backend is '
+                f'{backend}'
+            )
+        pytest.skip(f'no TPU attached (backend={backend})')
+
+
+def test_fused_rt_kernels_on_hardware(tmp_path):
+    """Fused ensemble transit RT + plane-parallel emission kernels and
+    the grouped-wing LBL pipeline == their XLA lowerings ON THE CHIP
+    (the interpreter accepted kernels Mosaic rejected in rounds 3/4)."""
+    worker = os.path.join(REPO, 'tests', 'tpu_fused_rt_worker.py')
+    out_file = str(tmp_path / 'fused.npz')
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    env.pop('XLA_FLAGS', None)
+    env['PYTHONPATH'] = REPO + os.pathsep + env.get('PYTHONPATH', '')
+    env['PBT_FUSED_OUT'] = out_file
+    proc = subprocess.run(
+        [sys.executable, worker], env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    out = np.load(out_file)
+    _maybe_skip_no_tpu(out['backend'])
+
+    for fused_key, xla_key, rtol in (
+            ('transit_fused', 'transit_xla', 2e-5),
+            ('emission_fused', 'emission_xla', 1e-4),
+            ('lbl_pallas', 'lbl_xla', 2e-4),
+            ('flag_batched', 'flag_vmap', 1e-4),
+    ):
+        fused = out[fused_key].astype(np.float64)
+        xla = out[xla_key].astype(np.float64)
+        assert fused.shape == xla.shape
+        scale = np.abs(xla).max(axis=-1, keepdims=True) + 1e-300
+        err = np.max(np.abs(fused - xla) / scale)
+        assert err < rtol, f'{fused_key}: {err} >= {rtol}'
+        assert np.abs(xla).max() > 0
