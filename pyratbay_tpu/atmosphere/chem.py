@@ -318,6 +318,34 @@ _POLYATOMICS = {
 # Cp and S untouched):
 _DFH_PIN = {'HCN': 135.1, 'NH2': 186.2}  # kJ/mol
 
+# Formation-enthalpy provenance and uncertainty for the metal
+# hydrides/oxides with no chemcat golden to calibrate against
+# (tests/test_chem.py quantifies the equilibrium-VMR impact).  DfH298
+# in kJ/mol; uncertainties are the spread of the cited determinations
+# (dissociation energies via Barklem & Collet 2016, A&A 588, A96;
+# JANAF 4th ed. for TiO2; Burcat/ATcT where listed).  A +-u enthalpy
+# error maps onto trace VMRs as roughly exp(u / RT): at 2000 K,
+# +-10 kJ/mol is a factor ~1.8 in the retrieved abundance -- callers
+# doing FeH/CrH/CaH/TiO2 abundance science should treat equilibrium
+# priors on these species accordingly.
+THERMO_UNCERTAINTY = {
+    # species: (DfH298 used [kJ/mol], +-unc [kJ/mol], source)
+    'FeH': (460.0, 10.0,
+            'D0 = 1.59 eV (Dulick et al. 2003; Barklem & Collet 2016)'
+            ' + JANAF Fe(g), H(g)'),
+    'CrH': (427.0, 10.0,
+            'D0 = 2.0 eV class determinations (Burcat; Barklem &'
+            ' Collet 2016) + JANAF Cr(g), H(g)'),
+    'CaH': (230.0, 8.0,
+            'D0 = 1.70 eV (Huber & Herzberg 1979; Barklem & Collet'
+            ' 2016) + JANAF Ca(g), H(g)'),
+    'TiO2': (-305.43, 12.0,
+             'JANAF 4th ed. (matrix-isolation fundamentals; S298'
+             ' unc. ~2 J/mol/K)'),
+    'FeO': (251.04, 8.0, 'JANAF 4th ed. / Burcat'),
+    'MgH': (229.79, 6.0, 'JANAF 4th ed.'),
+}
+
 
 def _apply_dfh_pins():
     for name, dfh in _DFH_PIN.items():

@@ -147,6 +147,7 @@ def build_forward_batched(model, obs=None, ret=None):
     use_pallas = jax.default_backend() == 'tpu' and tuning.RT_PALLAS
     ens_lanes = tuning.ENS_LANES
     ens_cb = tuning.ENS_CHAIN_BLOCK
+    ls_k_max = tuning.ENS_INKERNEL_LS
 
     def forward_b(params_b):
         params_b = jnp.asarray(params_b)
@@ -199,7 +200,7 @@ def build_forward_batched(model, obs=None, ret=None):
                 )                                       # [B, s, l]
                 w_stl = w_t[:, None] * d_w[:, :, None]  # [B, s, t, l]
                 n_k = m.nspec * m.ntemp
-                if use_pallas and n_k <= 32:
+                if use_pallas and n_k <= ls_k_max:
                     # In-kernel contraction (ensemble_pallas):
                     # the [B, l, W] contribution buffer and its
                     # batch-minor layout copy never materialize --

@@ -20,18 +20,24 @@ import os
 RT_PALLAS = os.environ.get('PBT_RT_PALLAS', '1') != '0'
 ENS_LANES = int(os.environ.get('PBT_ENS_LANES', 256))
 ENS_CHAIN_BLOCK = int(os.environ.get('PBT_ENS_CB', 32))
+# Max nspec*ntemp for the in-kernel line-sample contraction (0
+# disables it; larger tables use the ensemble einsum + layout copy):
+ENS_INKERNEL_LS = int(os.environ.get('PBT_ENS_LS_K', 32))
 
 
-def set_tuning(rt_pallas=None, ens_lanes=None, ens_chain_block=None):
+def set_tuning(rt_pallas=None, ens_lanes=None, ens_chain_block=None,
+               ens_inkernel_ls=None):
     """Override the knobs programmatically (before building forwards).
 
     Already-jitted programs are NOT retraced: rebuild any forward or
     model evaluator after changing these.
     """
-    global RT_PALLAS, ENS_LANES, ENS_CHAIN_BLOCK
+    global RT_PALLAS, ENS_LANES, ENS_CHAIN_BLOCK, ENS_INKERNEL_LS
     if rt_pallas is not None:
         RT_PALLAS = bool(rt_pallas)
     if ens_lanes is not None:
         ENS_LANES = int(ens_lanes)
     if ens_chain_block is not None:
         ENS_CHAIN_BLOCK = int(ens_chain_block)
+    if ens_inkernel_ls is not None:
+        ENS_INKERNEL_LS = int(ens_inkernel_ls)

@@ -443,3 +443,54 @@ def test_f32_equilibrium_mass_balance():
     he_h = vmr[:, 1] / h_tot
     expected = 10.0 ** (net._solar_dex[1] - 12.0)
     np.testing.assert_allclose(he_h, expected, rtol=0.01)
+
+
+def test_thermo_uncertainty_table_consistent():
+    """The documented uncertainty table (chem.THERMO_UNCERTAINTY) must
+    quote exactly the formation enthalpies the solver uses, so the
+    stated provenance cannot drift from the data."""
+    for name, (dfh, unc, source) in chem.THERMO_UNCERTAINTY.items():
+        if name in chem._DIATOMICS:
+            used = chem._DIATOMICS[name][0]
+        elif name in chem._POLYATOMICS:
+            used = chem._POLYATOMICS[name][0]
+        else:
+            raise AssertionError(f'{name} has no thermo entry')
+        assert used == dfh, (name, used, dfh)
+        assert unc > 0 and source
+
+
+def test_thermo_uncertainty_vmr_impact():
+    """Quantify the equilibrium-VMR impact of the residual FeH/CrH/
+    CaH enthalpy uncertainty: a +-u shift moves the trace VMR by
+    ~exp(u/RT) (the documented guidance for abundance science on
+    these species)."""
+    press = np.logspace(-4, 1, 12)
+    temp = np.full(12, 2000.0)
+    species = ['H2', 'H', 'He', 'Fe', 'FeH', 'Ca', 'CaH', 'Cr', 'CrH']
+
+    def vmrs(shift_kj):
+        orig = dict(chem._DIATOMICS)
+        try:
+            for sp in ('FeH', 'CaH', 'CrH'):
+                vals = list(chem._DIATOMICS[sp])
+                vals[0] = vals[0] + shift_kj
+                chem._DIATOMICS[sp] = tuple(vals)
+            net = chem.Network(press, temp, species)
+            return np.asarray(net.thermochemical_equilibrium())
+        finally:
+            chem._DIATOMICS.clear()
+            chem._DIATOMICS.update(orig)
+
+    base = vmrs(0.0)
+    hi = vmrs(+10.0)
+    names = list(np.asarray(
+        chem.Network(press, temp, species).species))
+    r_gas_kj = 8.31446e-3
+    expected = np.exp(-10.0 / (r_gas_kj * 2000.0))   # ~0.548
+    for sp in ('FeH', 'CaH', 'CrH'):
+        i = names.index(sp)
+        ratio = hi[:, i] / base[:, i]
+        # Within 20% of the analytic factor (the metal reservoir
+        # shifts slightly too):
+        assert np.all(np.abs(ratio / expected - 1) < 0.2), (sp, ratio)
