@@ -160,6 +160,19 @@ def main():
         ))
     except Exception as exc:
         extras['flops_error'] = f'{type(exc).__name__}: {exc}'[:120]
+    # Line-sample path ablation: the einsum+layout-copy route (the
+    # default) vs the in-kernel VPU contraction, with the copy bytes
+    # quantified from the compiled programs' own cost analyses --
+    # the round-4 verdict's 'fuse it or prove the floor' item:
+    _stage('line-sample path ablation')
+    try:
+        extras['ls_ablation'] = _ls_ablation(
+            model, obs, ret, params, batch, bytes_per_batch,
+            spectra_per_s,
+        )
+    except Exception as exc:
+        extras['ls_ablation_error'] = (
+            f'{type(exc).__name__}: {exc}'[:200])
     # Secondary: direct line-by-line sampling + tabulation throughput:
     _stage('lbl rates')
     try:
@@ -239,6 +252,50 @@ def main():
         **extras,
     }))
     return 0
+
+
+def _ls_ablation(model, obs, ret, params, batch, bytes_einsum,
+                 einsum_rate, n_iter=15):
+    """Measure the in-kernel line-sample contraction against the
+    default einsum + layout-copy path on the SAME chip session.
+
+    The in-kernel variant (ensemble_pallas ls_w/ls_tab operands)
+    eliminates the [B, nlayers, nwave] contribution buffer and its
+    batch-minor layout copy; the ablation quantifies those bytes (the
+    cost-analysis delta between the two compiled programs) and shows
+    which path actually wins (v5e, round 5: the MXU einsum despite
+    the copy -- see tuning.ENS_INKERNEL_LS).
+    """
+    import jax
+
+    from pyratbay_tpu import tuning
+    from pyratbay_tpu.retrieval.batched import build_forward_batched
+
+    saved = tuning.ENS_INKERNEL_LS
+    try:
+        tuning.set_tuning(ens_inkernel_ls=32, ens_chain_block=8)
+        fb = build_forward_batched(model, obs, ret)
+        fn = jax.jit(lambda p: fb(p)['bandflux'])
+        compiled = fn.lower(params).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        bytes_inkernel = float(cost.get('bytes accessed', 0.0))
+        dt, spread = _rate_stats(lambda: fn(params), n_iter)
+    finally:
+        tuning.set_tuning(ens_inkernel_ls=saved, ens_chain_block=32)
+    return {
+        'einsum_spectra_per_s': round(einsum_rate, 1),
+        'inkernel_spectra_per_s': round(batch / dt, 1),
+        'inkernel_spread_pct': spread,
+        'einsum_bytes_per_forward_mb': round(
+            bytes_einsum / batch / 1e6, 2),
+        'inkernel_bytes_per_forward_mb': round(
+            bytes_inkernel / batch / 1e6, 2),
+        'ls_copy_and_buffer_mb_per_forward': round(
+            max(bytes_einsum - bytes_inkernel, 0.0) / batch / 1e6, 2),
+        'default_path': 'einsum' if saved == 0 else 'inkernel',
+    }
 
 
 def _synthetic_lines(nlines=50_000, seed=0):

@@ -20,9 +20,15 @@ import os
 RT_PALLAS = os.environ.get('PBT_RT_PALLAS', '1') != '0'
 ENS_LANES = int(os.environ.get('PBT_ENS_LANES', 256))
 ENS_CHAIN_BLOCK = int(os.environ.get('PBT_ENS_CB', 32))
-# Max nspec*ntemp for the in-kernel line-sample contraction (0
-# disables it; larger tables use the ensemble einsum + layout copy):
-ENS_INKERNEL_LS = int(os.environ.get('PBT_ENS_LS_K', 32))
+# Max nspec*ntemp for the in-kernel line-sample contraction (0 =
+# disabled, the default: a measured v5e ablation on the flagship has
+# the ensemble einsum + layout copy at 111k spectra/s vs 97k for the
+# in-kernel VPU contraction -- the MXU einsum beats the copy saving;
+# the fused path OOMs scoped VMEM at chain_block 32 and pays ~800
+# extra grid steps at chain_block 8.  Kept selectable for small-wave
+# configs and future Mosaic improvements; bench.py re-measures the
+# ablation every run):
+ENS_INKERNEL_LS = int(os.environ.get('PBT_ENS_LS_K', 0))
 
 
 def set_tuning(rt_pallas=None, ens_lanes=None, ens_chain_block=None,
