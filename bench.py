@@ -634,6 +634,17 @@ def _scaling_efficiency(device_counts=(1, 2, 4, 8)):
         'mode': 'wave sharding (virtual CPU devices)',
         'host_logical_cpus': os.cpu_count(),
         'host_affinity_cpus': physical,
+        # What these numbers can and cannot show: N virtual devices
+        # share the host cores above, so 'efficiency' here measures
+        # GSPMD sharding OVERHEAD (ideal = 1.0 means partitioning
+        # adds no cost), NOT hardware speedup -- real multi-chip
+        # scaling is unknowable on this 1-chip host.  Strong: fixed
+        # R115k work, ideal keeps sec_per_batch flat.  Weak: work
+        # grows ~N on the same cores, ideal is N*t1/tN:
+        'interpretation': (
+            'efficiency == sharded-program overhead on an '
+            'oversubscribed host, not multi-chip speedup'
+        ),
         'strong_R115k': block(device_counts, lambda n: 115000.0),
         'weak_R15k_per_dev': block(
             device_counts, lambda n: 15000.0 * n, weak=True),
