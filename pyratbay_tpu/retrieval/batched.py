@@ -148,6 +148,7 @@ def build_forward_batched(model, obs=None, ret=None):
     ens_lanes = tuning.ENS_LANES
     ens_cb = tuning.ENS_CHAIN_BLOCK
     ls_k_max = tuning.ENS_INKERNEL_LS
+    ls_lbw = tuning.ENS_LS_LBW
 
     def forward_b(params_b):
         params_b = jnp.asarray(params_b)
@@ -168,6 +169,7 @@ def build_forward_batched(model, obs=None, ret=None):
         # line-sample dot keeps its own buffer.  The XLA fallback
         # sums everything.
         parts = []
+        parts_lbw = []
         cloud_parts = []
         cia_ws = []
         cia_tabs = []
@@ -213,10 +215,21 @@ def build_forward_batched(model, obs=None, ret=None):
                     ls_tabs.append(np.asarray(m.cs_table).reshape(
                         n_k, nlayers, nwave))
                     continue
-                # Large-K tables: one flat einsum over the ensemble
-                # (a gather-lerp formulation was measured 2x slower:
-                # TPU row gathers dominate).  The batched-dot output
-                # takes one layout copy in front of the RT kernel:
+                if use_pallas and ls_lbw:
+                    # One flat einsum emitting the batched dot's
+                    # NATURAL [l, B, w] layout: the kernel's
+                    # layer-major blocks consume it directly, so the
+                    # full-size layout copy the 'blw' form pays never
+                    # happens:
+                    parts_lbw.append(jnp.einsum(
+                        'bstl,stlw->lbw', w_stl,
+                        jnp.asarray(m.cs_table),
+                    ))
+                    continue
+                # One flat einsum over the ensemble (a gather-lerp
+                # formulation was measured 2x slower: TPU row gathers
+                # dominate).  The batched-dot output takes one layout
+                # copy in front of the RT kernel:
                 contrib = jnp.einsum(
                     'bstl,stlw->blw', w_stl,
                     jnp.asarray(m.cs_table),
@@ -268,7 +281,8 @@ def build_forward_batched(model, obs=None, ret=None):
                 cloud_sum = cloud_sum + extra_cloud
             cloud_parts = [cloud_sum]
 
-        def run_emission_rt(fused_e, parts_e, cloud_parts_e, cia_ws_e,
+        def run_emission_rt(fused_e, parts_e, parts_lbw_e,
+                            cloud_parts_e, cia_ws_e,
                             cia_tabs_e, ls_ws_e, ls_tabs_e,
                             radius_e, temp_e, rtop_e,
                             ibottom_e, ditop, dtsurf, fpatchy_e, nb_e):
@@ -294,6 +308,7 @@ def build_forward_batched(model, obs=None, ret=None):
                         quad_w, rtop_e, ibot, deck_itop=dit,
                         deck_tsurf=dts, cia_w=cia_w, cia_tab=cia_tab,
                         ls_w=ls_w, ls_tab=ls_tab,
+                        ec_parts_lbw=parts_lbw_e,
                         maxdepth=maxdepth, max_lanes=ens_lanes,
                         chain_block=ens_cb,
                     )
@@ -367,8 +382,8 @@ def build_forward_batched(model, obs=None, ret=None):
 
         if not is_transit:
             spectrum = run_emission_rt(
-                fused, parts, cloud_parts, cia_ws, cia_tabs,
-                ls_ws, ls_tabs, radius, temp, rtop, ibottom,
+                fused, parts, parts_lbw, cloud_parts, cia_ws,
+                cia_tabs, ls_ws, ls_tabs, radius, temp, rtop, ibottom,
                 deck_itop if have_deck else None,
                 deck_tsurf if have_deck else None,
                 fpatchy, nb,
@@ -395,7 +410,8 @@ def build_forward_batched(model, obs=None, ret=None):
                     ec_parts, path, rr, rstar_n, rtop, ibot,
                     deck_itop=ditop, deck_rsurf=dsurf,
                     cia_w=cia_w, cia_tab=cia_tab,
-                    ls_w=ls_w, ls_tab=ls_tab, maxdepth=maxdepth,
+                    ls_w=ls_w, ls_tab=ls_tab,
+                    ec_parts_lbw=parts_lbw, maxdepth=maxdepth,
                     max_lanes=ens_lanes, chain_block=ens_cb,
                 )
 

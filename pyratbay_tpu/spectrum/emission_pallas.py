@@ -115,7 +115,7 @@ def _planck(wn_row, wn3_row, temp_col):
 
 def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
                      wn_ref, *rest, maxdepth, l8, cb, has_cia, n_ls,
-                     mu, weights):
+                     mu, weights, n_lbw=0):
     rest = list(rest)
     out_ref = rest.pop()
     lsw_ref = lst_ref = ciaw_ref = ciat_ref = None
@@ -125,6 +125,9 @@ def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
     if has_cia:
         ciat_ref = rest.pop()
         ciaw_ref = rest.pop()
+    lbw_refs = []
+    for _ in range(n_lbw):
+        lbw_refs.insert(0, rest.pop())
     part_refs = rest
 
     wn_row = wn_ref[...]                          # [1, wt]
@@ -140,6 +143,9 @@ def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
             ec = jnp.zeros(
                 (l8, out_ref.shape[-1]), out_ref.dtype,
             )
+        for ref in lbw_refs:
+            # Layer-major [l, B, w] contributions (no layout copy):
+            ec = ec + ref[:, c]
         if has_cia:
             ec = ec + jnp.dot(
                 ciaw_ref[c], ciat_ref[...],
@@ -211,7 +217,7 @@ def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
 def emission_flux_ensemble(
         ec_parts, radius, temp, wn, mu, weights, itop, ibottom,
         deck_itop=None, deck_tsurf=None, cia_w=None, cia_tab=None,
-        ls_w=None, ls_tab=None, *,
+        ls_w=None, ls_tab=None, ec_parts_lbw=(), *,
         maxdepth=np.inf, interpret=False, chain_block=None,
         max_lanes=None,
     ):
@@ -250,7 +256,7 @@ def emission_flux_ensemble(
         tuple(float(m) for m in np.asarray(mu)),
         tuple(float(w) for w in np.asarray(weights)),
         itop, ibottom, deck_itop, deck_tsurf, cia_w, cia_tab,
-        ls_w, ls_tab,
+        ls_w, ls_tab, tuple(ec_parts_lbw),
         maxdepth=maxdepth, interpret=interpret,
         chain_block=chain_block, max_lanes=max_lanes,
     )
@@ -263,13 +269,18 @@ def emission_flux_ensemble(
 )
 def _emission_flux_ensemble(
         ec_parts, radius, temp, wn_row, mu, weights, itop, ibottom,
-        deck_itop, deck_tsurf, cia_w, cia_tab, ls_w, ls_tab, *,
+        deck_itop, deck_tsurf, cia_w, cia_tab, ls_w, ls_tab,
+        ec_parts_lbw=(), *,
         maxdepth, interpret, chain_block, max_lanes,
     ):
     ec_parts = list(ec_parts)
+    ec_parts_lbw = list(ec_parts_lbw)
     if ec_parts:
         nb, nlayers, nwave = ec_parts[0].shape
         dt = ec_parts[0].dtype
+    elif ec_parts_lbw:
+        nlayers, nb, nwave = ec_parts_lbw[0].shape
+        dt = ec_parts_lbw[0].dtype
     else:
         nb, nlayers = radius.shape
         nwave = (ls_tab.shape[2] if ls_tab is not None
@@ -312,10 +323,15 @@ def _emission_flux_ensemble(
         if n_ls:
             ls_w = jnp.pad(
                 ls_w, pad_b + ((0, 0), (0, 0), (0, 0)), mode='edge')
+        ec_parts_lbw = [
+            jnp.pad(p, ((0, 0),) + pad_b + ((0, 0),), mode='edge')
+            for p in ec_parts_lbw
+        ]
 
     kernel = functools.partial(
         _emission_kernel, maxdepth=float(maxdepth), l8=nlayers,
         cb=cb, has_cia=has_cia, n_ls=n_ls, mu=mu, weights=weights,
+        n_lbw=len(ec_parts_lbw),
     )
     grid = (npad // wtile, bpad // cb)
     chain3 = lambda shape: pl.BlockSpec(
@@ -335,9 +351,14 @@ def _emission_flux_ensemble(
         pl.BlockSpec((1, wtile), lambda i, j: (0, i),
                      memory_space=pltpu.VMEM),
     ] + [part_spec] * len(ec_parts)
+    lbw_spec = pl.BlockSpec(
+        (nlayers, cb, wtile), lambda i, j: (0, j, i),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs += [lbw_spec] * len(ec_parts_lbw)
     operands = [
         scal, cum.astype(dt), cum_next.astype(dt), t_col, tn_col,
-        wn_row, *ec_parts,
+        wn_row, *ec_parts, *ec_parts_lbw,
     ]
     if has_cia:
         kdim = cia_tab.shape[0]

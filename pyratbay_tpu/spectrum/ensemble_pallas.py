@@ -35,7 +35,7 @@ __all__ = ['transit_spectrum_ensemble']
 
 def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
                      *rest, maxdepth, l8, cb, n_parts, has_cia,
-                     n_ls):
+                     n_ls, n_lbw=0):
     rest = list(rest)
     out_ref = rest.pop()
     lsw_ref = lst_ref = ciaw_ref = ciat_ref = None
@@ -45,6 +45,9 @@ def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
     if has_cia:
         ciat_ref = rest.pop()
         ciaw_ref = rest.pop()
+    lbw_refs = []
+    for _ in range(n_lbw):
+        lbw_refs.insert(0, rest.pop())
     part_refs = rest
 
     for c in range(cb):
@@ -56,6 +59,11 @@ def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
             ec = jnp.zeros(
                 (l8, out_ref.shape[-1]), out_ref.dtype,
             )
+        for ref in lbw_refs:
+            # Layer-major [l, B, w] contributions: the batched-dot
+            # producers' NATURAL output layout (no XLA layout copy);
+            # the chain slice lands on the block's middle dim:
+            ec = ec + ref[:, c]
         if has_cia:
             # In-kernel CIA: [l8, K] x [K, wt] against the shared,
             # per-wave-tile-resident table:
@@ -84,7 +92,7 @@ def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
 def transit_spectrum_ensemble(
         ec_parts, path, radius, rstar, itop, ibottom,
         deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None,
-        ls_w=None, ls_tab=None, *,
+        ls_w=None, ls_tab=None, ec_parts_lbw=(), *,
         maxdepth=np.inf, interpret=False, chain_block=None,
         max_lanes=None,
     ):
@@ -98,6 +106,7 @@ def transit_spectrum_ensemble(
     return _transit_spectrum_ensemble(
         ec_parts, path, radius, rstar, itop, ibottom,
         deck_itop, deck_rsurf, cia_w, cia_tab, ls_w, ls_tab,
+        tuple(ec_parts_lbw),
         maxdepth=maxdepth, interpret=interpret,
         chain_block=chain_block, max_lanes=max_lanes,
     )
@@ -111,7 +120,7 @@ def transit_spectrum_ensemble(
 def _transit_spectrum_ensemble(
         ec_parts, path, radius, rstar, itop, ibottom,
         deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None,
-        ls_w=None, ls_tab=None, *,
+        ls_w=None, ls_tab=None, ec_parts_lbw=(), *,
         maxdepth=np.inf, interpret=False, chain_block=None,
         max_lanes=None,
     ):
@@ -143,9 +152,13 @@ def _transit_spectrum_ensemble(
     spectrum [B, nwave].
     """
     ec_parts = list(ec_parts)
+    ec_parts_lbw = list(ec_parts_lbw)
     if ec_parts:
         nb, nlayers, nwave = ec_parts[0].shape
         dt = ec_parts[0].dtype
+    elif ec_parts_lbw:
+        nlayers, nb, nwave = ec_parts_lbw[0].shape
+        dt = ec_parts_lbw[0].dtype
     else:
         # All extinction comes from in-kernel contractions:
         nb, nlayers = path.shape[:2]
@@ -195,10 +208,15 @@ def _transit_spectrum_ensemble(
         if n_ls:
             ls_w = jnp.pad(
                 ls_w, pad_b + ((0, 0), (0, 0), (0, 0)), mode='edge')
+        ec_parts_lbw = [
+            jnp.pad(p, ((0, 0),) + pad_b + ((0, 0),), mode='edge')
+            for p in ec_parts_lbw
+        ]
 
     kernel = functools.partial(
         _ensemble_kernel, maxdepth=float(maxdepth), l8=nlayers,
         cb=cb, n_parts=len(ec_parts), has_cia=has_cia, n_ls=n_ls,
+        n_lbw=len(ec_parts_lbw),
     )
     grid = (npad // wtile, bpad // cb)
     chain3 = lambda shape: pl.BlockSpec(
@@ -216,7 +234,13 @@ def _transit_spectrum_ensemble(
         chain3((cb, nlayers, 1)),
         chain3((cb, nlayers, 1)),
     ] + [part_spec] * len(ec_parts)
-    operands = [scal, path2, rad_col, h_col, hprev_col, *ec_parts]
+    lbw_spec = pl.BlockSpec(
+        (nlayers, cb, wtile), lambda i, j: (0, j, i),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs += [lbw_spec] * len(ec_parts_lbw)
+    operands = [scal, path2, rad_col, h_col, hprev_col, *ec_parts,
+                *ec_parts_lbw]
     if has_cia:
         kdim = cia_tab.shape[0]
         in_specs.append(chain3((cb, nlayers, kdim)))

@@ -29,16 +29,22 @@ ENS_CHAIN_BLOCK = int(os.environ.get('PBT_ENS_CB', 32))
 # configs and future Mosaic improvements; bench.py re-measures the
 # ablation every run):
 ENS_INKERNEL_LS = int(os.environ.get('PBT_ENS_LS_K', 0))
+# Emit line-sample einsum contributions in their NATURAL batched-dot
+# layout [l, B, w] and let the transit ensemble kernel consume them
+# with layer-major blocks (no XLA layout copy), instead of the
+# [B, l, w] layout that costs a full-size copy:
+ENS_LS_LBW = os.environ.get('PBT_ENS_LS_LBW', '1') != '0'
 
 
 def set_tuning(rt_pallas=None, ens_lanes=None, ens_chain_block=None,
-               ens_inkernel_ls=None):
+               ens_inkernel_ls=None, ens_ls_lbw=None):
     """Override the knobs programmatically (before building forwards).
 
     Already-jitted programs are NOT retraced: rebuild any forward or
     model evaluator after changing these.
     """
-    global RT_PALLAS, ENS_LANES, ENS_CHAIN_BLOCK, ENS_INKERNEL_LS
+    global RT_PALLAS, ENS_LANES, ENS_CHAIN_BLOCK, ENS_INKERNEL_LS, \
+        ENS_LS_LBW
     if rt_pallas is not None:
         RT_PALLAS = bool(rt_pallas)
     if ens_lanes is not None:
@@ -47,3 +53,5 @@ def set_tuning(rt_pallas=None, ens_lanes=None, ens_chain_block=None,
         ENS_CHAIN_BLOCK = int(ens_chain_block)
     if ens_inkernel_ls is not None:
         ENS_INKERNEL_LS = int(ens_inkernel_ls)
+    if ens_ls_lbw is not None:
+        ENS_LS_LBW = bool(ens_ls_lbw)

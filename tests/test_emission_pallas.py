@@ -167,3 +167,30 @@ def test_emission_ensemble_inkernel_line_sample():
         **common,
     ))
     np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+
+def test_emission_ensemble_lbw_parts():
+    """Layer-major [l, B, w] parts == the same contribution as a
+    [B, l, w] part (the no-layout-copy einsum route, emission)."""
+    ec, radius, temp, wn, mu, weights = _setup(seed=31)
+    nb, nlayers, nwave = ec.shape
+    extra = 0.4 * ec
+    common = dict(
+        mu=mu, weights=weights, maxdepth=6.0, interpret=True,
+        chain_block=2,
+    )
+    ref = np.asarray(emission_flux_ensemble(
+        [jnp.asarray(ec + extra, jnp.float32)],
+        jnp.asarray(radius), jnp.asarray(temp), wn,
+        itop=jnp.zeros(nb, int), ibottom=jnp.full(nb, nlayers),
+        **common,
+    ))
+    got = np.asarray(emission_flux_ensemble(
+        [jnp.asarray(ec, jnp.float32)],
+        jnp.asarray(radius), jnp.asarray(temp), wn,
+        itop=jnp.zeros(nb, int), ibottom=jnp.full(nb, nlayers),
+        ec_parts_lbw=[jnp.asarray(
+            np.moveaxis(extra, 0, 1), jnp.float32)],
+        **common,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=5e-5)

@@ -124,3 +124,42 @@ def test_transit_ensemble_inkernel_line_sample():
         **common,
     ))
     np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+
+def test_transit_ensemble_lbw_parts():
+    """Layer-major [l, B, w] parts == the same contribution passed as
+    a [B, l, w] part (the no-layout-copy einsum route)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyratbay_tpu.atmosphere.geometry import transit_path_matrix
+    from pyratbay_tpu.spectrum.ensemble_pallas import (
+        transit_spectrum_ensemble,
+    )
+
+    rng = np.random.default_rng(29)
+    nb, nl, nw = 6, 24, 300
+    radius = (np.linspace(1.1, 1.0, nl)[None, :]
+              * (1 + 0.01 * rng.standard_normal((nb, 1))))
+    paths = np.stack([
+        np.asarray(transit_path_matrix(jnp.asarray(radius[b])))
+        for b in range(nb)
+    ])
+    ec = rng.lognormal(-3.0, 1.5, (nb, nl, nw)) \
+        * np.exp(np.linspace(0, 6, nl))[None, :, None]
+    extra = 0.4 * ec
+
+    common = dict(maxdepth=8.0, interpret=True, chain_block=2)
+    ref = np.asarray(transit_spectrum_ensemble(
+        [jnp.asarray(ec + extra, jnp.float32)],
+        jnp.asarray(paths), jnp.asarray(radius), 12.0,
+        jnp.zeros(nb, int), jnp.full(nb, nl), **common,
+    ))
+    got = np.asarray(transit_spectrum_ensemble(
+        [jnp.asarray(ec, jnp.float32)],
+        jnp.asarray(paths), jnp.asarray(radius), 12.0,
+        jnp.zeros(nb, int), jnp.full(nb, nl),
+        ec_parts_lbw=[jnp.asarray(
+            np.moveaxis(extra, 0, 1), jnp.float32)],
+        **common,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
