@@ -54,6 +54,18 @@ class VanderWaals:
             mass = masses[0]
         self.mass = mass
         self.mol = self.species
+        # Static line pruning: a line whose entire cutoff window lies
+        # off the wavenumber grid contributes EXACTLY zero (the
+        # |dnu| <= cutoff mask would reject every point), yet its
+        # dense (layer, wave) profile -- two transcendentals per
+        # element -- was still computed.  The flagship 1.1-1.7 um grid
+        # with Na D at 0.589 um is the extreme case: the whole model
+        # was masked zeros:
+        self.active_lines = [
+            i for i in range(self.nlines)
+            if (self.wn0[i] - cutoff <= self.wn[-1]
+                and self.wn0[i] + cutoff >= self.wn[0])
+        ]
 
     def cross_section(self, temperature):
         """Cross section (cm2 molec-1): T [nlayers] -> [nlayers, nwave].
@@ -85,7 +97,11 @@ class VanderWaals:
         wave = jnp.asarray(self.wn)[None, :]
         dsig = dsigma                                       # [lay, 1]
         total = None
-        for i in range(len(self.wn0)):
+        if not self.active_lines:
+            return jnp.zeros(
+                (self.nlayers, self.nwave), dtype=temp.dtype,
+            )
+        for i in self.active_lines:
             dwn = wave - wn0[0, i]                          # [lay?, wave]
             abs_dwn = jnp.abs(dwn)
             strength = pc.C3_KERNEL * float(self.gf[i]) / self.part_func

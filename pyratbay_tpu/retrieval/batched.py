@@ -255,6 +255,10 @@ def build_forward_batched(model, obs=None, ret=None):
                 cia_tabs.append(np.asarray(m.tab_cs_amagat))
                 continue
             elif mtype == 'alkali':
+                if not getattr(m, 'active_lines', True):
+                    # Every line's cutoff window is off this grid:
+                    # the contribution is exactly zero.
+                    continue
                 contrib = jax.vmap(m.extinction)(temp, dens[:, :, imol])
             elif mtype == 'rayleigh':
                 contrib = jax.vmap(m.extinction)(dens[:, :, imol])
