@@ -41,6 +41,12 @@ class Lecavelier:
         density = jnp.asarray(self.pressure) * pc.bar / temperature / pc.k
         return self.cross_section(pars)[None, :] * density[:, None]
 
+    def ec_rank1(self, temperature, pars):
+        """(layer column, wave row) factorization of the EC (see
+        rayleigh.Rayleigh.ec_rank1)."""
+        density = jnp.asarray(self.pressure) * pc.bar / temperature / pc.k
+        return density, self.cross_section(pars)
+
 
 class CCSgray:
     """Constant (gray) cross-section cloud between two pressure levels.
@@ -72,6 +78,15 @@ class CCSgray:
         return jnp.broadcast_to(
             (cs * density)[:, None], (len(self.pressure), nwave),
         )
+
+    def ec_rank1(self, temperature, pars):
+        """(layer column, wave row) factorization of the gray EC."""
+        pars = jnp.asarray(pars)
+        press = jnp.asarray(self.pressure)
+        in_cloud = (press >= 10.0 ** pars[1]) & (press <= 10.0 ** pars[2])
+        cs = jnp.where(in_cloud, 10.0 ** pars[0] * _S0, 0.0)
+        density = press * pc.bar / temperature / pc.k
+        return cs * density, jnp.ones(len(self.wn))
 
 
 class Deck:

@@ -54,6 +54,12 @@ class Rayleigh:
         """EC (cm-1): density [nlayers] of this species -> [nlayers, nwave]."""
         return jnp.asarray(self.cross_section)[None, :] * density[:, None]
 
+    def ec_rank1(self, density):
+        """Rank-1 factorization (layer column, wave row) of the EC:
+        the batched ensemble kernels compose col x row in VMEM, so the
+        dense [B, nlayers, nwave] buffer never reaches HBM."""
+        return density, jnp.asarray(self.cross_section)
+
     def __str__(self):
         from ..tools import Formatted_Write
         fw = Formatted_Write()

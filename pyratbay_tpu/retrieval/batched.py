@@ -170,6 +170,8 @@ def build_forward_batched(model, obs=None, ret=None):
         # sums everything.
         parts = []
         parts_lbw = []
+        r1_col_list = []
+        r1_row_list = []
         cloud_parts = []
         cia_ws = []
         cia_tabs = []
@@ -261,8 +263,24 @@ def build_forward_batched(model, obs=None, ret=None):
                     continue
                 contrib = jax.vmap(m.extinction)(temp, dens[:, :, imol])
             elif mtype == 'rayleigh':
+                if use_pallas:
+                    col, row = jax.vmap(m.ec_rank1)(dens[:, :, imol])
+                    r1_col_list.append(col)
+                    r1_row_list.append(jnp.broadcast_to(
+                        row, (nb, nwave)))
+                    continue
                 contrib = jax.vmap(m.extinction)(dens[:, :, imol])
             elif mtype == 'cloud':
+                if (use_pallas and not model.is_patchy
+                        and hasattr(m, 'ec_rank1')):
+                    # Rank-1 clouds/hazes go to the kernel as
+                    # (layer column, wave row) pairs -- no dense
+                    # buffer, no per-layer transcendentals:
+                    col, row = jax.vmap(m.ec_rank1)(temp, pars)
+                    r1_col_list.append(col)
+                    r1_row_list.append(jnp.broadcast_to(
+                        row, (nb, nwave)))
+                    continue
                 contrib = jax.vmap(m.extinction)(temp, pars)
             elif mtype == 'h_ion':
                 contrib = jax.vmap(m.extinction)(
@@ -313,6 +331,7 @@ def build_forward_batched(model, obs=None, ret=None):
                         deck_tsurf=dts, cia_w=cia_w, cia_tab=cia_tab,
                         ls_w=ls_w, ls_tab=ls_tab,
                         ec_parts_lbw=parts_lbw_e,
+                        r1_cols=r1_cols, r1_rows=r1_rows,
                         maxdepth=maxdepth, max_lanes=ens_lanes,
                         chain_block=ens_cb,
                     )
@@ -380,6 +399,11 @@ def build_forward_batched(model, obs=None, ret=None):
         else:
             ibottom = jnp.full((nb,), nlayers)
 
+        r1_cols = r1_rows = None
+        if r1_col_list:
+            r1_cols = jnp.stack(r1_col_list, axis=1)[..., None]
+            r1_rows = jnp.stack(r1_row_list, axis=1)[:, :, None, :]
+
         fused = use_pallas
         if not parts and not fused:
             parts = [jnp.zeros((nb, nlayers, nwave))]
@@ -415,7 +439,9 @@ def build_forward_batched(model, obs=None, ret=None):
                     deck_itop=ditop, deck_rsurf=dsurf,
                     cia_w=cia_w, cia_tab=cia_tab,
                     ls_w=ls_w, ls_tab=ls_tab,
-                    ec_parts_lbw=parts_lbw, maxdepth=maxdepth,
+                    ec_parts_lbw=parts_lbw,
+                    r1_cols=r1_cols, r1_rows=r1_rows,
+                    maxdepth=maxdepth,
                     max_lanes=ens_lanes, chain_block=ens_cb,
                 )
 

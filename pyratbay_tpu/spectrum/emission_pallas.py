@@ -115,7 +115,7 @@ def _planck(wn_row, wn3_row, temp_col):
 
 def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
                      wn_ref, *rest, maxdepth, l8, cb, has_cia, n_ls,
-                     mu, weights, n_lbw=0):
+                     mu, weights, n_lbw=0, n_r1=0):
     rest = list(rest)
     out_ref = rest.pop()
     lsw_ref = lst_ref = ciaw_ref = ciat_ref = None
@@ -125,6 +125,10 @@ def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
     if has_cia:
         ciat_ref = rest.pop()
         ciaw_ref = rest.pop()
+    r1c_ref = r1r_ref = None
+    if n_r1:
+        r1r_ref = rest.pop()
+        r1c_ref = rest.pop()
     lbw_refs = []
     for _ in range(n_lbw):
         lbw_refs.insert(0, rest.pop())
@@ -146,6 +150,9 @@ def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
         for ref in lbw_refs:
             # Layer-major [l, B, w] contributions (no layout copy):
             ec = ec + ref[:, c]
+        for r in range(n_r1):
+            # Rank-1 sources: layer column x wave row in VMEM:
+            ec = ec + r1c_ref[c, r] * r1r_ref[c, r]
         if has_cia:
             ec = ec + jnp.dot(
                 ciaw_ref[c], ciat_ref[...],
@@ -217,7 +224,8 @@ def _emission_kernel(scal_ref, cum_ref, cumn_ref, t_ref, tn_ref,
 def emission_flux_ensemble(
         ec_parts, radius, temp, wn, mu, weights, itop, ibottom,
         deck_itop=None, deck_tsurf=None, cia_w=None, cia_tab=None,
-        ls_w=None, ls_tab=None, ec_parts_lbw=(), *,
+        ls_w=None, ls_tab=None, ec_parts_lbw=(),
+        r1_cols=None, r1_rows=None, *,
         maxdepth=np.inf, interpret=False, chain_block=None,
         max_lanes=None,
     ):
@@ -245,7 +253,17 @@ def emission_flux_ensemble(
         max_lanes = tuning.ENS_LANES
     if chain_block is None:
         chain_block = tuning.ENS_CHAIN_BLOCK
-    nwave = ec_parts[0].shape[2]
+    ec_parts = list(ec_parts)
+    if ec_parts:
+        nwave = ec_parts[0].shape[2]
+    elif ec_parts_lbw:
+        nwave = ec_parts_lbw[0].shape[2]
+    elif r1_rows is not None:
+        nwave = r1_rows.shape[3]
+    elif ls_tab is not None:
+        nwave = ls_tab.shape[2]
+    else:
+        nwave = cia_tab.shape[1]
     npad, _ = _wave_tile(nwave, max_lanes=max_lanes)
     # Wavenumber row, padded with ones (pad lanes are sliced away;
     # ones keep the in-kernel Planck finite there):
@@ -256,7 +274,7 @@ def emission_flux_ensemble(
         tuple(float(m) for m in np.asarray(mu)),
         tuple(float(w) for w in np.asarray(weights)),
         itop, ibottom, deck_itop, deck_tsurf, cia_w, cia_tab,
-        ls_w, ls_tab, tuple(ec_parts_lbw),
+        ls_w, ls_tab, tuple(ec_parts_lbw), r1_cols, r1_rows,
         maxdepth=maxdepth, interpret=interpret,
         chain_block=chain_block, max_lanes=max_lanes,
     )
@@ -270,7 +288,7 @@ def emission_flux_ensemble(
 def _emission_flux_ensemble(
         ec_parts, radius, temp, wn_row, mu, weights, itop, ibottom,
         deck_itop, deck_tsurf, cia_w, cia_tab, ls_w, ls_tab,
-        ec_parts_lbw=(), *,
+        ec_parts_lbw=(), r1_cols=None, r1_rows=None, *,
         maxdepth, interpret, chain_block, max_lanes,
     ):
     ec_parts = list(ec_parts)
@@ -281,6 +299,11 @@ def _emission_flux_ensemble(
     elif ec_parts_lbw:
         nlayers, nb, nwave = ec_parts_lbw[0].shape
         dt = ec_parts_lbw[0].dtype
+    elif r1_rows is not None:
+        nb = r1_rows.shape[0]
+        nlayers = r1_cols.shape[2]
+        nwave = r1_rows.shape[3]
+        dt = r1_rows.dtype
     else:
         nb, nlayers = radius.shape
         nwave = (ls_tab.shape[2] if ls_tab is not None
@@ -327,11 +350,17 @@ def _emission_flux_ensemble(
             jnp.pad(p, ((0, 0),) + pad_b + ((0, 0),), mode='edge')
             for p in ec_parts_lbw
         ]
+        if r1_cols is not None:
+            r1_cols = jnp.pad(
+                r1_cols, pad_b + ((0, 0),) * 3, mode='edge')
+            r1_rows = jnp.pad(
+                r1_rows, pad_b + ((0, 0),) * 3, mode='edge')
 
+    n_r1 = 0 if r1_cols is None else r1_cols.shape[1]
     kernel = functools.partial(
         _emission_kernel, maxdepth=float(maxdepth), l8=nlayers,
         cb=cb, has_cia=has_cia, n_ls=n_ls, mu=mu, weights=weights,
-        n_lbw=len(ec_parts_lbw),
+        n_lbw=len(ec_parts_lbw), n_r1=n_r1,
     )
     grid = (npad // wtile, bpad // cb)
     chain3 = lambda shape: pl.BlockSpec(
@@ -356,10 +385,26 @@ def _emission_flux_ensemble(
         memory_space=pltpu.VMEM,
     )
     in_specs += [lbw_spec] * len(ec_parts_lbw)
+    r1_specs = []
+    if n_r1:
+        r1_specs = [
+            pl.BlockSpec(
+                (cb, n_r1, nlayers, 1), lambda i, j: (j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (cb, n_r1, 1, wtile), lambda i, j: (j, 0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    in_specs += r1_specs
     operands = [
         scal, cum.astype(dt), cum_next.astype(dt), t_col, tn_col,
         wn_row, *ec_parts, *ec_parts_lbw,
     ]
+    if n_r1:
+        operands.append(r1_cols.astype(dt))
+        operands.append(r1_rows.astype(dt))
     if has_cia:
         kdim = cia_tab.shape[0]
         in_specs.append(chain3((cb, nlayers, kdim)))

@@ -35,7 +35,7 @@ __all__ = ['transit_spectrum_ensemble']
 
 def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
                      *rest, maxdepth, l8, cb, n_parts, has_cia,
-                     n_ls, n_lbw=0):
+                     n_ls, n_lbw=0, n_r1=0):
     rest = list(rest)
     out_ref = rest.pop()
     lsw_ref = lst_ref = ciaw_ref = ciat_ref = None
@@ -45,6 +45,10 @@ def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
     if has_cia:
         ciat_ref = rest.pop()
         ciaw_ref = rest.pop()
+    r1c_ref = r1r_ref = None
+    if n_r1:
+        r1r_ref = rest.pop()
+        r1c_ref = rest.pop()
     lbw_refs = []
     for _ in range(n_lbw):
         lbw_refs.insert(0, rest.pop())
@@ -64,6 +68,11 @@ def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
             # producers' NATURAL output layout (no XLA layout copy);
             # the chain slice lands on the block's middle dim:
             ec = ec + ref[:, c]
+        for r in range(n_r1):
+            # Rank-1 sources (Rayleigh, power-law hazes, gray
+            # clouds): layer column x wave row, composed in VMEM --
+            # their dense [B, l, W] buffers never exist in HBM:
+            ec = ec + r1c_ref[c, r] * r1r_ref[c, r]
         if has_cia:
             # In-kernel CIA: [l8, K] x [K, wt] against the shared,
             # per-wave-tile-resident table:
@@ -92,7 +101,8 @@ def _ensemble_kernel(scal_ref, path2_ref, rad_ref, h_ref, hprev_ref,
 def transit_spectrum_ensemble(
         ec_parts, path, radius, rstar, itop, ibottom,
         deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None,
-        ls_w=None, ls_tab=None, ec_parts_lbw=(), *,
+        ls_w=None, ls_tab=None, ec_parts_lbw=(),
+        r1_cols=None, r1_rows=None, *,
         maxdepth=np.inf, interpret=False, chain_block=None,
         max_lanes=None,
     ):
@@ -106,7 +116,7 @@ def transit_spectrum_ensemble(
     return _transit_spectrum_ensemble(
         ec_parts, path, radius, rstar, itop, ibottom,
         deck_itop, deck_rsurf, cia_w, cia_tab, ls_w, ls_tab,
-        tuple(ec_parts_lbw),
+        tuple(ec_parts_lbw), r1_cols, r1_rows,
         maxdepth=maxdepth, interpret=interpret,
         chain_block=chain_block, max_lanes=max_lanes,
     )
@@ -120,7 +130,8 @@ def transit_spectrum_ensemble(
 def _transit_spectrum_ensemble(
         ec_parts, path, radius, rstar, itop, ibottom,
         deck_itop=None, deck_rsurf=None, cia_w=None, cia_tab=None,
-        ls_w=None, ls_tab=None, ec_parts_lbw=(), *,
+        ls_w=None, ls_tab=None, ec_parts_lbw=(),
+        r1_cols=None, r1_rows=None, *,
         maxdepth=np.inf, interpret=False, chain_block=None,
         max_lanes=None,
     ):
@@ -159,6 +170,11 @@ def _transit_spectrum_ensemble(
     elif ec_parts_lbw:
         nlayers, nb, nwave = ec_parts_lbw[0].shape
         dt = ec_parts_lbw[0].dtype
+    elif r1_rows is not None:
+        nb = r1_rows.shape[0]
+        nlayers = r1_cols.shape[2]
+        nwave = r1_rows.shape[3]
+        dt = r1_rows.dtype
     else:
         # All extinction comes from in-kernel contractions:
         nb, nlayers = path.shape[:2]
@@ -212,11 +228,17 @@ def _transit_spectrum_ensemble(
             jnp.pad(p, ((0, 0),) + pad_b + ((0, 0),), mode='edge')
             for p in ec_parts_lbw
         ]
+        if r1_cols is not None:
+            r1_cols = jnp.pad(
+                r1_cols, pad_b + ((0, 0),) * 3, mode='edge')
+            r1_rows = jnp.pad(
+                r1_rows, pad_b + ((0, 0),) * 3, mode='edge')
 
+    n_r1 = 0 if r1_cols is None else r1_cols.shape[1]
     kernel = functools.partial(
         _ensemble_kernel, maxdepth=float(maxdepth), l8=nlayers,
         cb=cb, n_parts=len(ec_parts), has_cia=has_cia, n_ls=n_ls,
-        n_lbw=len(ec_parts_lbw),
+        n_lbw=len(ec_parts_lbw), n_r1=n_r1,
     )
     grid = (npad // wtile, bpad // cb)
     chain3 = lambda shape: pl.BlockSpec(
@@ -241,6 +263,17 @@ def _transit_spectrum_ensemble(
     in_specs += [lbw_spec] * len(ec_parts_lbw)
     operands = [scal, path2, rad_col, h_col, hprev_col, *ec_parts,
                 *ec_parts_lbw]
+    if n_r1:
+        in_specs.append(pl.BlockSpec(
+            (cb, n_r1, nlayers, 1), lambda i, j: (j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        in_specs.append(pl.BlockSpec(
+            (cb, n_r1, 1, wtile), lambda i, j: (j, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        ))
+        operands.append(r1_cols.astype(dt))
+        operands.append(r1_rows.astype(dt))
     if has_cia:
         kdim = cia_tab.shape[0]
         in_specs.append(chain3((cb, nlayers, kdim)))

@@ -194,3 +194,32 @@ def test_emission_ensemble_lbw_parts():
         **common,
     ))
     np.testing.assert_allclose(got, ref, rtol=5e-5)
+
+
+def test_emission_ensemble_rank1_parts():
+    """Rank-1 parts == the dense outer product (emission kernel)."""
+    ec, radius, temp, wn, mu, weights = _setup(seed=41)
+    nb, nlayers, nwave = ec.shape
+    rng = np.random.default_rng(43)
+    cols = rng.lognormal(-24.0, 1.0, (nb, 2, nlayers))
+    rows = rng.lognormal(0.0, 1.0, (nb, 2, nwave))
+    dense = np.einsum('brl,brw->blw', cols, rows)
+    common = dict(
+        mu=mu, weights=weights, maxdepth=6.0, interpret=True,
+        chain_block=2,
+    )
+    ref = np.asarray(emission_flux_ensemble(
+        [jnp.asarray(ec + dense, jnp.float32)],
+        jnp.asarray(radius), jnp.asarray(temp), wn,
+        itop=jnp.zeros(nb, int), ibottom=jnp.full(nb, nlayers),
+        **common,
+    ))
+    got = np.asarray(emission_flux_ensemble(
+        [jnp.asarray(ec, jnp.float32)],
+        jnp.asarray(radius), jnp.asarray(temp), wn,
+        itop=jnp.zeros(nb, int), ibottom=jnp.full(nb, nlayers),
+        r1_cols=jnp.asarray(cols[..., None], jnp.float32),
+        r1_rows=jnp.asarray(rows[:, :, None, :], jnp.float32),
+        **common,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=5e-5)

@@ -163,3 +163,44 @@ def test_transit_ensemble_lbw_parts():
         **common,
     ))
     np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+
+def test_transit_ensemble_rank1_parts():
+    """Rank-1 (layer column x wave row) parts == the dense outer
+    product passed as an ec part."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyratbay_tpu.atmosphere.geometry import transit_path_matrix
+    from pyratbay_tpu.spectrum.ensemble_pallas import (
+        transit_spectrum_ensemble,
+    )
+
+    rng = np.random.default_rng(37)
+    nb, nl, nw = 5, 24, 300
+    radius = (np.linspace(1.1, 1.0, nl)[None, :]
+              * (1 + 0.01 * rng.standard_normal((nb, 1))))
+    paths = np.stack([
+        np.asarray(transit_path_matrix(jnp.asarray(radius[b])))
+        for b in range(nb)
+    ])
+    ec = rng.lognormal(-3.0, 1.5, (nb, nl, nw)) \
+        * np.exp(np.linspace(0, 6, nl))[None, :, None]
+    cols = rng.lognormal(0.0, 1.0, (nb, 2, nl))
+    rows = rng.lognormal(-1.0, 1.0, (nb, 2, nw))
+    dense = np.einsum('brl,brw->blw', cols, rows)
+
+    common = dict(maxdepth=8.0, interpret=True, chain_block=2)
+    ref = np.asarray(transit_spectrum_ensemble(
+        [jnp.asarray(ec + dense, jnp.float32)],
+        jnp.asarray(paths), jnp.asarray(radius), 12.0,
+        jnp.zeros(nb, int), jnp.full(nb, nl), **common,
+    ))
+    got = np.asarray(transit_spectrum_ensemble(
+        [jnp.asarray(ec, jnp.float32)],
+        jnp.asarray(paths), jnp.asarray(radius), 12.0,
+        jnp.zeros(nb, int), jnp.full(nb, nl),
+        r1_cols=jnp.asarray(cols[..., None], jnp.float32),
+        r1_rows=jnp.asarray(rows[:, :, None, :], jnp.float32),
+        **common,
+    ))
+    np.testing.assert_allclose(got, ref, rtol=5e-5)
