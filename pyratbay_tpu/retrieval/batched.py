@@ -11,11 +11,18 @@ This builder assembles the ensemble explicitly instead:
 
 * the parameter mapping + atmospheric state (small arrays) reuse the
   per-chain `forward.state` under vmap;
-* the line-sample and CIA temperature interpolations become plain
-  (un-batched) einsums over the whole ensemble -- '(B l), t' free dims
-  flatten into one matmul with standard-layout outputs;
-* elementwise sources (alkali, Rayleigh, clouds, H-) vmap as before
-  (elementwise fusions are layout-flexible);
+* the line-sample temperature interpolation is one flat einsum whose
+  output keeps the batched dot's NATURAL layer-major [l, B, w] layout
+  -- the kernels consume it directly, so the layout copy the [B, l, w]
+  form pays never exists (tuning.ENS_LS_LBW; an in-kernel contraction
+  variant exists too but measured slower, tuning.ENS_INKERNEL_LS);
+* CIA contracts in-kernel against its tiny chain-invariant table;
+* rank-1 sources (Rayleigh, power-law hazes, gray clouds) ship as
+  per-chain (layer column, wave row) operand pairs composed in VMEM
+  -- no dense [B, l, w] buffers; genuinely 2-D sources (active
+  alkali, H-) vmap as elementwise fusions (layout-flexible), and
+  alkali lines whose cutoff windows miss the grid are pruned
+  statically;
 * transit RT runs through the batched fused pallas kernel
   (spectrum/ensemble_pallas.py); plane-parallel emission/eclipse
   through the fused emission kernel (spectrum/emission_pallas.py,
