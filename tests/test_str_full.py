@@ -105,3 +105,65 @@ def test_strfull_ccsgray(flagship):
     model = flagship[0]
     text = str(CCSgray(np.asarray(model.press), np.asarray(model.wn)))
     assert text == "Cloud opacity model: ccsgray\nParameters (['log_k_gray', 'log_p_top', 'log_p_bot']): [0.0, -4.0, 2.0]\n"
+
+
+def test_strfull_rayleigh_species_variants():
+    """Per-species Rayleigh dumps (the reference pins H/He/H2
+    separately, test_str.py:178-223 there)."""
+    from pyratbay_tpu.opacity.rayleigh import Rayleigh
+    wn = np.arange(5882.0, 9091.0, 1.0)
+    assert str(Rayleigh('H', wn)) == (
+        'Rayleigh opacity model: rayleigh_H\n'
+        'Species: H\n'
+        'Cross section range: 7.001e-30 -- 4.041e-29 cm2 molec-1\n'
+    )
+    assert str(Rayleigh('He', wn)) == (
+        'Rayleigh opacity model: rayleigh_He\n'
+        'Species: He\n'
+        'Cross section range: 6.576e-31 -- 3.759e-30 cm2 molec-1\n'
+    )
+
+
+def test_strfull_cia_h2he():
+    """Second bundled Borysow table (the reference pins H2-H2 and
+    H2-He, test_str.py:224-284 there)."""
+    from pyratbay_tpu import data
+    from pyratbay_tpu.opacity.cia import CIA
+    wn = np.arange(5882.0, 9091.0, 1.0)
+    cia = CIA(data.cia_file('H2He'), wn=wn)
+    assert str(cia) == (
+        'Collision-induced absorption: CIA H2-He\n'
+        "Species: ['H2', 'He']\n"
+        'Temperature range: 50.0 -- 3000.0 K (20 samples)\n'
+        'Wavenumber samples (nwave): 3209\n'
+    )
+
+
+def test_strfull_eclipse_model(tmp_path):
+    """The emission-geometry model dump (the reference pins a
+    separate pyrat emission str, test_str.py:633-698 there)."""
+    from pyratbay_tpu.benchmark import make_flagship
+    model, *_ = make_flagship(
+        str(tmp_path / 'ecl'), nlayers=21, wl_low=1.1, wl_high=1.3,
+        wnstep=2.0, rt_path='eclipse',
+    )
+    text = str(model).split('Last-run timestamps')[0]
+    assert 'RT path (rt_path): eclipse' in text
+    assert text == (
+        "TPU-native radiative-transfer model:\nRun mode (runmode): "
+        "spectrum\nRT path (rt_path): eclipse\nWavenumber range: "
+        "7692.31 -- 9090.31 cm-1 (700 samples)\nPressure range: "
+        "1.00e-06 -- 1.00e+02 bar (21 layers)\nSpecies: ['H2', 'He', "
+        "'H', 'Na', 'K', 'H2O', 'CH4', 'CO', 'CO2']\nOpacity models:\n"
+        "  line sampling          (line_sample)  T = [300.0, 3000.0] K\n"
+        "  sodium_vdw             (alkali)\n"
+        "  CIA H2-H2              (cia)  T = [60.0, 3000.0] K\n"
+        "  deck                   (cloud)\n"
+        "  lecavelier             (cloud)\n"
+        "Temperature model: guillot\nRadius model: hydro_m\nSystem:\n"
+        "  Planet radius (rplanet): 1.000 rjup\n"
+        "  Planet mass (mplanet): 0.600 mjup\n"
+        "  Stellar radius (rstar): 1.270 rsun\n"
+        "  Stellar temperature (tstar): 5800.0 K\n"
+        "  Semi-major axis (smaxis): 0.0450 au\n"
+    )
