@@ -285,18 +285,19 @@ class DirectLBL:
 
         Per output point: kernel pairs ~ lmax_wf(pts) plus duplicated
         per-cell window-factor entries ~ lmax_wf(pts)/pts.  The factor
-        coefficient (one entry ~ 60x a wing pair: XLA transcendental
-        chain + 6 HBM touches vs an in-VMEM 22-flop pair) was fitted
-        on the v5e from a {16,32,64,128}-point sweep of the 50k-line
-        bench probe and reproduces the held-out 32-point timing to
-        1%.  Evaluates the real window sizes per dataset (grid
-        spacing and line density vary)."""
+        coefficient (one entry ~ 13x a wing pair) was fitted on the
+        v5e from {16,32,64}-point sweeps of the 50k-line bench probe
+        AFTER the gather-free factor rewrite (the gather formulation
+        measured ~60x, which pushed the optimum to 64 points; with
+        where-chain factors 16-point sub-tiles win: 16.9 vs 15.4
+        G effective pairs/s).  Evaluates the real window sizes per
+        dataset (grid spacing and line density vary)."""
         best_pts, best_cost = 128, np.inf
         for pts in (8, 16, 32, 64, 128):
             ntiles = -(-self.nwave // pts)
             tiles = self._pad_tiles(pts, ntiles)
             _, lmax = _tile_ranges(tiles, self.lwn, self.cutoff)
-            cost = lmax * (1.0 + 60.0 / pts)
+            cost = lmax * (1.0 + 13.0 / pts)
             if cost < best_cost:
                 best_pts, best_cost = pts, cost
         return best_pts
