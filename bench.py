@@ -389,8 +389,11 @@ def _lbl_rates(n_iter=50, block=8):
         jnp.asarray(dens, jnp.float32),
         jnp.asarray(pf, jnp.float32),
     )
+    # Full n_iter here too: short loops let one slow dispatch (or the
+    # pipeline fill) dominate -- n=6 measured 5-8 G/s where n=40
+    # sustains 15+ on the same program:
     dt_sweep, spread_pct = _rate_stats(
-        lambda: sweep(*sweep_args), max(5, n_iter // 5))
+        lambda: sweep(*sweep_args), n_iter)
     dt = dt_sweep / nblk
     dt_single, _ = _rate_stats(lambda: batched(*args), n_iter)
     # Padded pairs = the pallas wing layout's actual pair count
