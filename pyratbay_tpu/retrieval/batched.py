@@ -151,7 +151,9 @@ def build_forward_batched(model, obs=None, ret=None):
     # Fused-RT dispatch is fixed at BUILD time (pyratbay_tpu.tuning is
     # read once here; rebuild the forward after set_tuning):
     from .. import tuning
-    use_pallas = jax.default_backend() == 'tpu' and tuning.RT_PALLAS
+    ens_interpret = tuning.ENS_FORCE_INTERPRET
+    use_pallas = ens_interpret or (
+        jax.default_backend() == 'tpu' and tuning.RT_PALLAS)
     ens_lanes = tuning.ENS_LANES
     ens_cb = tuning.ENS_CHAIN_BLOCK
     ls_k_max = tuning.ENS_INKERNEL_LS
@@ -339,8 +341,8 @@ def build_forward_batched(model, obs=None, ret=None):
                         ls_w=ls_w, ls_tab=ls_tab,
                         ec_parts_lbw=parts_lbw_e,
                         r1_cols=r1_cols, r1_rows=r1_rows,
-                        maxdepth=maxdepth, max_lanes=ens_lanes,
-                        chain_block=ens_cb,
+                        maxdepth=maxdepth, interpret=ens_interpret,
+                        max_lanes=ens_lanes, chain_block=ens_cb,
                     )
             else:
                 parts_e = parts_e + [
@@ -448,7 +450,7 @@ def build_forward_batched(model, obs=None, ret=None):
                     ls_w=ls_w, ls_tab=ls_tab,
                     ec_parts_lbw=parts_lbw,
                     r1_cols=r1_cols, r1_rows=r1_rows,
-                    maxdepth=maxdepth,
+                    maxdepth=maxdepth, interpret=ens_interpret,
                     max_lanes=ens_lanes, chain_block=ens_cb,
                 )
 

@@ -266,8 +266,10 @@ def emission_flux_ensemble(
         nwave = cia_tab.shape[1]
     npad, _ = _wave_tile(nwave, max_lanes=max_lanes)
     # Wavenumber row, padded with ones (pad lanes are sliced away;
-    # ones keep the in-kernel Planck finite there):
-    wn_row = np.ones((1, npad), np.float32)
+    # ones keep the in-kernel Planck finite there).  Built in f64 and
+    # cast to the extinction dtype later: an early f32 truncation
+    # would degrade the f64 (CPU-test) path:
+    wn_row = np.ones((1, npad), np.float64)
     wn_row[0, :nwave] = np.asarray(wn)
     return _emission_flux_ensemble(
         ec_parts, radius, temp, wn_row,

@@ -34,17 +34,23 @@ ENS_INKERNEL_LS = int(os.environ.get('PBT_ENS_LS_K', 0))
 # with layer-major blocks (no XLA layout copy), instead of the
 # [B, l, w] layout that costs a full-size copy:
 ENS_LS_LBW = os.environ.get('PBT_ENS_LS_LBW', '1') != '0'
+# Force the fused ensemble path through the pallas INTERPRETER on any
+# backend (tests: lets the CPU suite cover the batched builder's
+# kernel-operand assembly -- lbw parts, rank-1 pairs, in-kernel
+# CIA/LS -- not just the kernels in isolation):
+ENS_FORCE_INTERPRET = os.environ.get('PBT_ENS_INTERPRET', '0') == '1'
 
 
 def set_tuning(rt_pallas=None, ens_lanes=None, ens_chain_block=None,
-               ens_inkernel_ls=None, ens_ls_lbw=None):
+               ens_inkernel_ls=None, ens_ls_lbw=None,
+               ens_force_interpret=None):
     """Override the knobs programmatically (before building forwards).
 
     Already-jitted programs are NOT retraced: rebuild any forward or
     model evaluator after changing these.
     """
     global RT_PALLAS, ENS_LANES, ENS_CHAIN_BLOCK, ENS_INKERNEL_LS, \
-        ENS_LS_LBW
+        ENS_LS_LBW, ENS_FORCE_INTERPRET
     if rt_pallas is not None:
         RT_PALLAS = bool(rt_pallas)
     if ens_lanes is not None:
@@ -55,3 +61,5 @@ def set_tuning(rt_pallas=None, ens_lanes=None, ens_chain_block=None,
         ENS_INKERNEL_LS = int(ens_inkernel_ls)
     if ens_ls_lbw is not None:
         ENS_LS_LBW = bool(ens_ls_lbw)
+    if ens_force_interpret is not None:
+        ENS_FORCE_INTERPRET = bool(ens_force_interpret)

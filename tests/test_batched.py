@@ -196,3 +196,39 @@ def test_batched_hires_matches_vmap(tmp_path):
             build_log_posterior(model, obs, ret)))(pb))
         lp_got = np.asarray(jax.jit(log_post_b)(pb))
         np.testing.assert_allclose(lp_got, lp_ref, rtol=1e-8)
+
+
+@pytest.mark.parametrize('geometry', ['transit', 'eclipse'])
+def test_batched_fused_assembly_interpret(geometry, tmp_path):
+    """The FUSED ensemble path (lbw line-sample parts, rank-1
+    Rayleigh/cloud pairs, in-kernel CIA, fused RT kernels) on the
+    pallas interpreter == vmap(forward): covers the batched builder's
+    kernel-operand assembly on CPU CI, not just the kernels in
+    isolation (the round-3/4 interpreter-vs-Mosaic lesson, from the
+    assembly side)."""
+    from pyratbay_tpu import tuning
+
+    workdir = str(tmp_path / f'fused_{geometry}')
+    model, obs, ret, forward, p0 = make_flagship(
+        workdir, nlayers=21, wl_low=1.1, wl_high=1.3, wnstep=2.0,
+        rt_path=geometry,
+    )
+    try:
+        tuning.set_tuning(ens_force_interpret=True, ens_chain_block=8)
+        forward_b = build_forward_batched(model, obs, ret)
+        assert not forward_b.is_fallback
+        pb = _params(p0, n=4)
+        got = jax.jit(forward_b)(pb)
+    finally:
+        tuning.set_tuning(
+            ens_force_interpret=False, ens_chain_block=32)
+    ref = jax.jit(jax.vmap(
+        lambda p: {k: forward(p)[k] for k in ('spectrum', 'good')},
+    ))(pb)
+    np.testing.assert_array_equal(
+        np.asarray(got['good']), np.asarray(ref['good']))
+    fin = np.asarray(ref['good'])
+    np.testing.assert_allclose(
+        np.asarray(got['spectrum'])[fin], np.asarray(ref['spectrum'])[fin],
+        rtol=1e-8,
+    )
