@@ -272,6 +272,7 @@ def _ls_ablation(model, obs, ret, params, batch, bytes_einsum,
     from pyratbay_tpu.retrieval.batched import build_forward_batched
 
     saved = tuning.ENS_INKERNEL_LS
+    saved_cb = tuning.ENS_CHAIN_BLOCK
     try:
         tuning.set_tuning(ens_inkernel_ls=32, ens_chain_block=8)
         fb = build_forward_batched(model, obs, ret)
@@ -283,7 +284,8 @@ def _ls_ablation(model, obs, ret, params, batch, bytes_einsum,
         bytes_inkernel = float(cost.get('bytes accessed', 0.0))
         dt, spread = _rate_stats(lambda: fn(params), n_iter)
     finally:
-        tuning.set_tuning(ens_inkernel_ls=saved, ens_chain_block=32)
+        tuning.set_tuning(
+            ens_inkernel_ls=saved, ens_chain_block=saved_cb)
     return {
         'einsum_spectra_per_s': round(einsum_rate, 1),
         'inkernel_spectra_per_s': round(batch / dt, 1),
